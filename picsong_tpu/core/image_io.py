@@ -1,0 +1,144 @@
+"""File formats: PGM P5, planar RAW frames, codestreams and _SIZE sidecars.
+
+Mirrors the reference IOManager (IO/IOManager.ipp):
+- PGM P5 images (loadImageChar :36-65, writeImage :267-344),
+- planar RAW frame reads with symmetric mirror padding up to the adapted
+  (codeblock-multiple) size (loadFrameCAdaptedSizes :72-112),
+- coded-stream append plus an ASCII comma-separated "<out>_SIZE" sidecar
+  holding per-frame short counts, enabling random access to any frame
+  (writeCodedFrame :176-190, readBulkSizes :196-208).
+
+All functions are pure host-side NumPy; device code never touches files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# PGM P5
+# --------------------------------------------------------------------------
+
+def read_pgm(path: str) -> np.ndarray:
+    """Read a binary PGM (P5). Returns uint8 array (height, width)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"P5"):
+        raise ValueError(f"{path}: not a P5 PGM")
+    # Tokenize header: magic, width, height, maxval; '#' starts a comment.
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval > 255:
+        raise ValueError(f"{path}: only 8-bit PGM supported (maxval {maxval})")
+    pixels = np.frombuffer(data, dtype=np.uint8, count=width * height, offset=pos)
+    return pixels.reshape(height, width).copy()
+
+
+def write_pgm(path: str, image: np.ndarray, bit_depth: int = 8) -> None:
+    """Write a binary PGM (P5) with maxval 2**bit_depth - 1."""
+    image = np.asarray(image, dtype=np.uint8)
+    height, width = image.shape
+    header = f"P5\n{width} {height}\n{(1 << bit_depth) - 1}\n".encode()
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(image.tobytes())
+
+
+# --------------------------------------------------------------------------
+# RAW planar frames
+# --------------------------------------------------------------------------
+
+def mirror_pad(plane: np.ndarray, adapted_width: int, adapted_height: int) -> np.ndarray:
+    """Pad right/bottom by symmetric reflection with the edge repeated.
+
+    x[W + j] = x[W - 1 - j] per row, then row[H + r] = row[H - 1 - r]
+    (loadFrameCAdaptedSizes, IOManager.ipp:95-110). Equivalent to
+    numpy's 'symmetric' pad mode.
+    """
+    height, width = plane.shape
+    return np.pad(
+        plane,
+        ((0, adapted_height - height), (0, adapted_width - width)),
+        mode="symmetric",
+    )
+
+
+def read_raw_frame(path: str, width: int, height: int, frame_index: int) -> np.ndarray:
+    """Read one grayscale frame / one component plane from a planar RAW file.
+
+    Plane `frame_index` is at byte offset frame_index * width * height
+    (loadFrameC, IOManager.ipp:118-138). For an RGB image the three
+    components are planes 0, 1, 2 of the same file.
+    """
+    size = width * height
+    with open(path, "rb") as f:
+        f.seek(size * frame_index)
+        data = f.read(size)
+    if len(data) != size:
+        raise ValueError(f"{path}: frame {frame_index} truncated")
+    return np.frombuffer(data, dtype=np.uint8).reshape(height, width).copy()
+
+
+def append_raw_frame(path: str, plane: np.ndarray) -> None:
+    """Append one uint8 plane to a planar RAW file."""
+    with open(path, "ab") as f:
+        f.write(np.asarray(plane, dtype=np.uint8).tobytes())
+
+
+# --------------------------------------------------------------------------
+# Codestream files and the _SIZE sidecar
+# --------------------------------------------------------------------------
+
+def write_codestream(path: str, stream: np.ndarray, first: bool) -> None:
+    """Append one frame's codestream (uint16 shorts) and record its size.
+
+    The sidecar "<path>_SIZE" accumulates comma-separated short counts
+    (writeCodedFrame, IOManager.ipp:176-190); it is what gives video decode
+    random access to frame i via prefix sums.
+    """
+    stream = np.asarray(stream, dtype=np.uint16)
+    if first:
+        for p in (path, path + "_SIZE"):
+            if os.path.exists(p):
+                os.remove(p)
+    with open(path, "ab") as f:
+        f.write(stream.tobytes())
+    with open(path + "_SIZE", "a") as f:
+        f.write(("%d" if first else ",%d") % stream.size)
+
+
+def read_sizes(path: str) -> list[int]:
+    """Read the _SIZE sidecar (readBulkSizes, IOManager.ipp:196-208)."""
+    with open(path + "_SIZE", "r") as f:
+        return [int(tok) for tok in f.read().split(",") if tok.strip()]
+
+
+def read_codestream(path: str, offset_shorts: int, n_shorts: int) -> np.ndarray:
+    """Read one frame's codestream as uint16 shorts at a short offset."""
+    with open(path, "rb") as f:
+        f.seek(offset_shorts * 2)
+        data = f.read(n_shorts * 2)
+    return np.frombuffer(data, dtype=np.uint16).copy()
+
+
+def read_header_shorts(path: str, count: int = 9) -> np.ndarray:
+    """Read the leading header shorts (loadBasicInfo, IOManager.ipp:21-32)."""
+    with open(path, "rb") as f:
+        data = f.read(count * 2)
+    return np.frombuffer(data, dtype=np.uint16).copy()
