@@ -1,0 +1,705 @@
+"""Vectorized JAX BPC-PaCo: all codeblocks of a frame coded in one program.
+
+TPU-first reformulation of the reference's warp-per-codeblock kernels
+(BPC/BPCEngine.cu:1929-2299). The GPU design binds one 32-lane warp to one
+codeblock and serializes a 64-row x 2-phase scan inside each warp; here the
+same scan becomes a `lax.fori_loop` whose body operates on (N, 32) vectors
+— N codeblocks wide across the VPU — so grid-level parallelism is carried
+by vector width instead of thread blocks. Every CUDA construct has an
+algebraic equivalent:
+
+  divergent branch            -> lane mask + jnp.where
+  __shfl_up/down neighbor read-> even/odd column-grid slices
+  __activemask + __popc ballot-> masked cumulative sum over the lane axis
+  per-warp shared counter     -> (N,) counter vector
+  codeword store/load         -> batched scatter/gather on (N, 4096)
+
+The coded streams are bit-identical to the NumPy oracle
+(reference/bpc.py), which is itself an exact model of the reference coder;
+tests/test_jax_bpc.py gates this.
+
+State layout: the 64x64 coefficient grid is held as two (N, 66, 33) arrays
+— even columns and odd columns, each with a one-cell zero border — so each
+scan step reads its 8-neighborhood and writes its 32 cells with static
+last-dimension slices and a single dynamic row index (the layout a Pallas
+kernel wants as well).
+
+Coefficient word layout and pass semantics are documented in
+reference/bpc.py; this file mirrors it construct-for-construct.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import spec
+from ..core.lut import LUTParams, group_base
+
+_LANES = spec.LANES
+_ROWS = spec.CBLOCK_LENGTH
+_U = jnp.uint32
+_SIG_BIT = jnp.uint32(1 << 31)
+_CP_BIT = jnp.uint32(1 << 30)
+_REF_BIT = jnp.uint32(1 << 29)
+
+
+# --------------------------------------------------------------------------
+# Host-side per-codeblock metadata (static per image geometry)
+# --------------------------------------------------------------------------
+
+def block_metadata(levels: np.ndarray, subbands: np.ndarray,
+                   params: LUTParams, wavelet_levels: int, coding_passes: int,
+                   k_factor: float):
+    """Per-codeblock LUT group bases and CS coefficients (NumPy, host)."""
+    off = params.section_offsets(wavelet_levels, coding_passes)
+    n = len(levels)
+    meta = {}
+    for name, nctx in (("ref", params.ctx_refinement),
+                       ("sig", params.ctx_significance),
+                       ("sign", params.ctx_sign)):
+        base = np.array([off[name] + group_base(params, wavelet_levels,
+                                                int(levels[i]), int(subbands[i]), nctx)
+                         for i in range(n)], dtype=np.int32)
+        meta[name] = base
+    if coding_passes == 3:
+        aux = (params.section_size(params.ctx_significance, wavelet_levels)
+               + params.section_size(params.ctx_sign, wavelet_levels))
+        meta["cp_sig"] = meta["sig"] + aux
+        meta["cp_sign"] = meta["sign"] + aux
+    # k / L2Norm per codeblock (BPCEngine.cu:1684-1692)
+    k_over_l2 = np.zeros(n, dtype=np.float32)
+    if k_factor > 0:
+        for i in range(n):
+            row, col = spec.l2norm_column(int(levels[i]), int(subbands[i]),
+                                          wavelet_levels)
+            k_over_l2[i] = np.float32(k_factor) / spec.WAVELET_QSTEPS[row][col]
+    meta["k_over_l2"] = k_over_l2
+    meta["stride"] = params.stride_per_group(wavelet_levels)
+    return meta
+
+
+# --------------------------------------------------------------------------
+# Column-grid packing: (N, 64, 64) <-> even/odd (N, 66, 33) with borders
+# --------------------------------------------------------------------------
+
+def _to_grids(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    n = words.shape[0]
+    te = jnp.zeros((n, _ROWS + 2, _LANES + 1), dtype=_U)
+    to = jnp.zeros((n, _ROWS + 2, _LANES + 1), dtype=_U)
+    pairs = words.astype(_U).reshape(n, _ROWS, _LANES, 2)
+    te = te.at[:, 1:-1, :_LANES].set(pairs[..., 0])
+    to = to.at[:, 1:-1, 1:].set(pairs[..., 1])
+    return te, to
+
+
+def _or_reduce_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """OR-reduce each row of a 2-D array (log-depth fold)."""
+    while x.shape[1] > 1:
+        half = x.shape[1] // 2
+        rest = x[:, 2 * half:]
+        x = x[:, :half] | x[:, half:2 * half]
+        if rest.shape[1]:
+            x = x.at[:, :rest.shape[1]].set(x[:, :rest.shape[1]] | rest)
+    return x[:, 0]
+
+def _from_grids(te: jnp.ndarray, to: jnp.ndarray) -> jnp.ndarray:
+    n = te.shape[0]
+    pairs = jnp.stack([te[:, 1:-1, :_LANES], to[:, 1:-1, 1:]], axis=-1)
+    return pairs.reshape(n, _ROWS, _ROWS)
+
+
+def _neighbors(te3, to3, phase: int):
+    """8-neighborhood + current cells for one phase (static slices)."""
+    if phase == 0:
+        cur = te3[:, 1, :_LANES]
+        nb = dict(ul=to3[:, 0, :_LANES], up=te3[:, 0, :_LANES], ur=to3[:, 0, 1:],
+                  lf=to3[:, 1, :_LANES], rt=to3[:, 1, 1:],
+                  bl=to3[:, 2, :_LANES], bt=te3[:, 2, :_LANES], br=to3[:, 2, 1:])
+    else:
+        cur = to3[:, 1, 1:]
+        nb = dict(ul=te3[:, 0, :_LANES], up=to3[:, 0, 1:], ur=te3[:, 0, 1:],
+                  lf=te3[:, 1, :_LANES], rt=te3[:, 1, 1:],
+                  bl=te3[:, 2, :_LANES], bt=to3[:, 2, 1:], br=te3[:, 2, 1:])
+    return cur, nb
+
+
+def _write_cells(grid, vals, row, phase: int):
+    col0 = 0 if phase == 0 else 1
+    return jax.lax.dynamic_update_slice(grid, vals[:, None, :], (0, row + 1, col0))
+
+
+# --------------------------------------------------------------------------
+# Context formation (exact reference formulas; see reference/bpc.py)
+# --------------------------------------------------------------------------
+
+def _sig_ctx(nb) -> jnp.ndarray:
+    return sum((v >> 31).astype(jnp.int32) for v in nb.values())
+
+
+def _sig_ctx_bulk(nb, plane) -> jnp.ndarray:
+    p = plane.astype(jnp.uint32) if hasattr(plane, "astype") else jnp.uint32(plane)
+    return sum((((v >> 24) & 31) >= p).astype(jnp.int32) for v in nb.values())
+
+
+def _sign_ctx_table(h, v):
+    out = jnp.zeros_like(h)
+    out = jnp.where((h == 0) & (v > 0), 2, out)
+    out = jnp.where((h == 0) & (v < 0), 3, out)
+    out = jnp.where((h > 0) & (v == 0), 4, out)
+    out = jnp.where((h > 0) & (v > 0), 6, out)
+    out = jnp.where((h < 0) & (v == 0), 5, out)
+    out = jnp.where((h < 0) & (v > 0), 1, out)
+    out = jnp.where((h < 0) & (v < 0), 7, out)
+    return out
+
+
+def _sign_ctx(up, lf, rt, bt):
+    def c(v):
+        sig = (v >> 31) != 0
+        return jnp.where(sig, jnp.where((v & 1) == 1, -1, 1), 0).astype(jnp.int32)
+
+    return _sign_ctx_table(c(lf) + c(rt), c(up) + c(bt))
+
+
+def _sign_ctx_bulk(up, lf, rt, bt, plane):
+    p = plane.astype(jnp.uint32)
+
+    def c(v):
+        sig = ((v >> 31) != 0) & (((v >> 24) & 31) >= p)
+        return jnp.where(sig, jnp.where((v & 1) == 1, -1, 1), 0).astype(jnp.int32)
+
+    return _sign_ctx_table(c(lf) + c(rt), c(up) + c(bt))
+
+
+def _onehot_prob(table, idx, width):
+    """table (N, width) probabilities selected per lane by idx (N, 32)."""
+    oh = (idx[..., None] == jnp.arange(width, dtype=jnp.int32)).astype(jnp.int32)
+    return jnp.sum(oh * table[:, None, :], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# The 32-lane arithmetic coder over (N, 32) state
+# --------------------------------------------------------------------------
+
+def _ac_encode(state, active, bits, probs, prec: int):
+    low, size, resv, counter, out = state
+    need = active & (size == 0)
+    rank = jnp.cumsum(need, axis=1) - need
+    nslot = jnp.minimum(rank + counter[:, None], spec.MAX_RESERVED_SLOT) + 1
+    resv = jnp.where(need, nslot, resv)
+    counter = jnp.minimum(counter + need.sum(axis=1), spec.MAX_SLOT_COUNT)
+    low = jnp.where(need, 0, low)
+    size = jnp.where(need, spec.AC_INTERVAL_INIT, size)
+
+    aux = ((size * probs) >> prec) + bits
+    one = active & (bits == 1)
+    zero = active & (bits == 0)
+    size = jnp.where(zero, aux, jnp.where(one, size - aux, size))
+    low = jnp.where(one, low + aux, low)
+
+    flush = active & (size == 0)
+    bidx = jnp.arange(out.shape[0], dtype=jnp.int32)[:, None]
+    slot = jnp.where(flush, resv, out.shape[1])  # OOB -> dropped
+    out = out.at[bidx, slot].set(low, mode="drop")
+    return low, size, resv, counter, out
+
+
+def _ac_decode(state, active, probs, prec: int):
+    low, size, cw, counter, out = state
+    need = active & (size == 0)
+    rank = jnp.cumsum(need, axis=1) - need
+    nslot = jnp.minimum(rank + counter[:, None], spec.MAX_RESERVED_SLOT) + 1
+    bidx = jnp.arange(out.shape[0], dtype=jnp.int32)[:, None]
+    fetched = out[bidx, nslot]
+    cw = jnp.where(need, fetched, cw)
+    counter = jnp.minimum(counter + need.sum(axis=1), spec.MAX_SLOT_COUNT)
+    low = jnp.where(need, 0, low)
+    size = jnp.where(need, spec.AC_INTERVAL_INIT, size)
+
+    aux = ((size * probs) >> prec) + 1
+    aux2 = low + aux
+    # codewords compare as unsigned (the decoder reads raw 32-bit words;
+    # unwritten slots hold -1 == 0xFFFFFFFF, BPCEngine.cu:404-442)
+    one = active & (cw.astype(_U) >= aux2.astype(_U))
+    zero = active & ~one
+    size = jnp.where(one, size - aux, jnp.where(zero, aux - 1, size))
+    low = jnp.where(one, aux2, low)
+    sym = jnp.where(one, 1, 0)
+    return (low, size, cw, counter, out), sym
+
+
+def _plane_mask(plane):
+    """Decoder approximation mask at a plane: 0x3 << p, or 0x2 at p == 0.
+
+    Closed form of the reference's mask recurrence (Decode,
+    BPCEngine.cu:1791-1829)."""
+    return jnp.where(plane >= 1, jnp.uint32(3) << plane.astype(jnp.uint32),
+                     jnp.uint32(2))
+
+
+# --------------------------------------------------------------------------
+# Coding passes: each is a fori_loop over 64 rows with both phases unrolled
+# --------------------------------------------------------------------------
+
+def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
+              three_cp: bool):
+    te, to, ac = carry
+    shift = plane.astype(_U) + 1
+    pmask = _plane_mask(plane)
+    flag = _SIG_BIT | (plane.astype(_U) << 24)
+
+    def row_body(r, st):
+        te, to, ac = st
+        for phase in (0, 1):
+            te3 = jax.lax.dynamic_slice(te, (0, r, 0), (te.shape[0], 3, _LANES + 1))
+            to3 = jax.lax.dynamic_slice(to, (0, r, 0), (to.shape[0], 3, _LANES + 1))
+            cur, nb = _neighbors(te3, to3, phase)
+            insig = (cur >> 31) == 0
+            if three_cp:
+                has_nb = sum((v >> 31) for v in nb.values()) > 0
+                active = insig & has_nb & cb_active[:, None]
+                candidate = insig & ~has_nb & cb_active[:, None]
+            else:
+                active = insig & cb_active[:, None]
+                candidate = None
+            ctx = _sig_ctx(nb)
+            probs = _onehot_prob(sig9, ctx, 9)
+            if encode:
+                bits = ((cur >> shift) & 1).astype(jnp.int32)
+                ac = _ac_encode(ac, active, bits, probs, prec)
+                newly = active & (bits == 1)
+            else:
+                ac, bits = _ac_decode(ac, active, probs, prec)
+                newly = active & (bits == 1)
+            sctx = _sign_ctx(nb["up"], nb["lf"], nb["rt"], nb["bt"])
+            sprobs = _onehot_prob(sign4, sctx >> 1, 4)
+            if encode:
+                ssym = jnp.where((cur & 1).astype(jnp.int32) == (sctx & 1), 0, 1)
+                ac = _ac_encode(ac, newly, ssym, sprobs, prec)
+                upd = jnp.where(newly, cur | flag, cur)
+            else:
+                ac, ssym = _ac_decode(ac, newly, sprobs, prec)
+                sbit = jnp.where((ssym & 1) == (sctx & 1), jnp.uint32(0), jnp.uint32(1))
+                upd = jnp.where(newly, cur | pmask | flag | sbit, cur)
+            if three_cp:
+                upd = jnp.where(candidate, upd | _CP_BIT, upd)
+            if phase == 0:
+                te = _write_cells(te, upd, r, 0)
+            else:
+                to = _write_cells(to, upd, r, 1)
+        return te, to, ac
+
+    te, to, ac = jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    return te, to, ac
+
+
+def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
+    te, to, ac = carry
+    shift = plane.astype(_U) + 1
+    pmask = _plane_mask(plane)
+    probs = jnp.broadcast_to(ref1[:, None], (ref1.shape[0], _LANES))
+
+    def row_body(r, st):
+        te, to, ac = st
+        for phase in (0, 1):
+            grid = te if phase == 0 else to
+            col0 = 0 if phase == 0 else 1
+            cur = jax.lax.dynamic_slice(
+                grid, (0, r + 1, col0), (grid.shape[0], 1, _LANES))[:, 0, :]
+            refine = ((cur >> 29) & 1) == 1
+            active = refine & cb_active[:, None]
+            eligible = ~refine & ((cur >> 31) == 1) & cb_active[:, None]
+            if encode:
+                bits = ((cur >> shift) & 1).astype(jnp.int32)
+                ac = _ac_encode(ac, active, bits, probs, prec)
+                upd = cur
+            else:
+                ac, sym = _ac_decode(ac, active, probs, prec)
+                patt = (((sym.astype(_U) << 1) + 1) << plane.astype(_U))
+                upd = jnp.where(active, (cur & ~pmask) | (pmask & patt), cur)
+            upd = jnp.where(eligible, upd | _REF_BIT, upd)
+            if phase == 0:
+                te = _write_cells(te, upd, r, 0)
+            else:
+                to = _write_cells(to, upd, r, 1)
+        return te, to, ac
+
+    return jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+
+
+def _cp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool):
+    """Cleanup pass (coding_passes == 3)."""
+    te, to, ac = carry
+    shift = plane.astype(_U) + 1
+    pmask = _plane_mask(plane)
+    flag = _SIG_BIT | _REF_BIT | (plane.astype(_U) << 24)
+
+    def row_body(r, st):
+        te, to, ac = st
+        for phase in (0, 1):
+            te3 = jax.lax.dynamic_slice(te, (0, r, 0), (te.shape[0], 3, _LANES + 1))
+            to3 = jax.lax.dynamic_slice(to, (0, r, 0), (to.shape[0], 3, _LANES + 1))
+            cur, nb = _neighbors(te3, to3, phase)
+            active = (((cur >> 30) & 1) == 1) & cb_active[:, None]
+            ctx = _sig_ctx(nb)
+            probs = _onehot_prob(sig9, ctx, 9)
+            if encode:
+                bits = ((cur >> shift) & 1).astype(jnp.int32)
+                ac = _ac_encode(ac, active, bits, probs, prec)
+            else:
+                ac, bits = _ac_decode(ac, active, probs, prec)
+            upd = jnp.where(active, cur & ~_CP_BIT, cur)
+            newly = active & (bits == 1)
+            sctx = _sign_ctx(nb["up"], nb["lf"], nb["rt"], nb["bt"])
+            sprobs = _onehot_prob(sign4, sctx >> 1, 4)
+            if encode:
+                ssym = jnp.where((cur & 1).astype(jnp.int32) == (sctx & 1), 0, 1)
+                ac = _ac_encode(ac, newly, ssym, sprobs, prec)
+                upd = jnp.where(newly, upd | flag, upd)
+            else:
+                ac, ssym = _ac_decode(ac, newly, sprobs, prec)
+                sbit = jnp.where((ssym & 1) == (sctx & 1), jnp.uint32(0), jnp.uint32(1))
+                upd = jnp.where(newly, upd | pmask | flag | sbit, upd)
+            if phase == 0:
+                te = _write_cells(te, upd, r, 0)
+            else:
+                to = _write_cells(to, upd, r, 1)
+        return te, to, ac
+
+    return jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+
+
+def _bulk_pass(carry, entry, cb_active, bases, lut, prec, max_entry,
+               encode: bool):
+    """Fused multi-bitplane pass (complexity scalability, k > 0).
+
+    entry: (N,) per-codeblock entry plane; cells scan row-major and an inner
+    loop codes planes entry..0 per cell (encodeBulkMode,
+    BPCEngine.cu:1285-1662)."""
+    te, to, ac = carry
+    ref_b, sig_b, sign_b = bases
+    n = te.shape[0]
+    entry_u = entry.astype(_U)
+
+    def row_body(r, st):
+        te, to, ac = st
+        for phase in (0, 1):
+            te3 = jax.lax.dynamic_slice(te, (0, r, 0), (n, 3, _LANES + 1))
+            to3 = jax.lax.dynamic_slice(to, (0, r, 0), (n, 3, _LANES + 1))
+            cur, nb = _neighbors(te3, to3, phase)
+            ctx_b = _sig_ctx_bulk(nb, entry_u[:, None])
+            ctx_n = _sig_ctx(nb)
+            ctx = jnp.where((entry != 0)[:, None], ctx_b, ctx_n)
+
+            def plane_body(i, inner):
+                work, ac = inner
+                plane = entry - i                       # (N,)
+                act = cb_active & (plane >= 0)
+                pu = jnp.maximum(plane, 0)
+                shift = pu.astype(_U)[:, None] + 1
+                pmask = _plane_mask(pu)[:, None]
+                ref_p = lut[jnp.clip(ref_b + entry - i, 0, lut.shape[0] - 1)]
+                sig_row = (sig_b + (entry - i) * 9)
+                sig9 = lut[jnp.clip(sig_row[:, None] + jnp.arange(9), 0,
+                                    lut.shape[0] - 1)]
+                sign_row = (sign_b + (entry - i) * 4)
+                sign4 = lut[jnp.clip(sign_row[:, None] + jnp.arange(4), 0,
+                                     lut.shape[0] - 1)]
+
+                sig_lane = (work >> 31) == 1
+                a_ref = sig_lane & act[:, None]
+                probs = jnp.broadcast_to(ref_p[:, None], (n, _LANES))
+                if encode:
+                    bits = ((work >> shift) & 1).astype(jnp.int32)
+                    ac = _ac_encode(ac, a_ref, bits, probs, prec)
+                else:
+                    ac, sym = _ac_decode(ac, a_ref, probs, prec)
+                    patt = (((sym.astype(_U) << 1) + 1)
+                            << pu.astype(_U)[:, None])
+                    work = jnp.where(a_ref, (work & ~pmask) | (pmask & patt),
+                                     work)
+                insig = ((work >> 31) == 0) & act[:, None]
+                sprob = _onehot_prob(sig9, ctx, 9)
+                if encode:
+                    bits = ((work >> shift) & 1).astype(jnp.int32)
+                    ac = _ac_encode(ac, insig, bits, sprob, prec)
+                    newly = insig & (bits == 1)
+                else:
+                    ac, bits = _ac_decode(ac, insig, sprob, prec)
+                    newly = insig & (bits == 1)
+                flag = _SIG_BIT | (pu.astype(_U)[:, None] << 24)
+                sctx = _sign_ctx_bulk(nb["up"], nb["lf"], nb["rt"], nb["bt"],
+                                      pu[:, None])
+                sgp = _onehot_prob(sign4, sctx >> 1, 4)
+                if encode:
+                    ssym = jnp.where((work & 1).astype(jnp.int32) == (sctx & 1),
+                                     0, 1)
+                    ac = _ac_encode(ac, newly, ssym, sgp, prec)
+                    work = jnp.where(newly, work | flag, work)
+                else:
+                    ac, ssym = _ac_decode(ac, newly, sgp, prec)
+                    sbit = jnp.where((ssym & 1) == (sctx & 1), jnp.uint32(0),
+                                     jnp.uint32(1))
+                    work = jnp.where(newly, work | pmask | flag | sbit, work)
+                return work, ac
+
+            cur, ac = jax.lax.fori_loop(0, max_entry + 1, plane_body, (cur, ac))
+            if phase == 0:
+                te = _write_cells(te, cur, r, 0)
+            else:
+                to = _write_cells(to, cur, r, 1)
+        return te, to, ac
+
+    return jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+
+
+# --------------------------------------------------------------------------
+# Raw-copy fallback layout (expansionFix, BPCEngine.cu:1905-1922)
+# --------------------------------------------------------------------------
+
+def _raw_layout(T_words: jnp.ndarray) -> jnp.ndarray:
+    """(N, 64, 64) coefficient words -> (N, 4096) lane-major low-16 copy."""
+    n = T_words.shape[0]
+    v = (T_words & 0xFFFF).astype(jnp.int32)
+    # out[lane*128 + row*2 + parity] = T[row, lane*2 + parity]
+    return v.reshape(n, _ROWS, _LANES, 2).transpose(0, 2, 1, 3).reshape(n, -1)
+
+
+def _raw_unlayout(cs: jnp.ndarray) -> jnp.ndarray:
+    n = cs.shape[0]
+    v = (cs.astype(jnp.int32) & 0xFFFF).astype(_U)
+    return v.reshape(n, _LANES, _ROWS, 2).transpose(0, 2, 1, 3).reshape(
+        n, _ROWS, _ROWS)
+
+
+# --------------------------------------------------------------------------
+# Top-level encode / decode
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("params", "wavelet_levels", "coding_passes",
+                                   "has_k"))
+def encode_blocks(blocks: jnp.ndarray, lut: jnp.ndarray,
+                  ref_base: jnp.ndarray, sig_base: jnp.ndarray,
+                  sign_base: jnp.ndarray, cp_sig_base: jnp.ndarray,
+                  cp_sign_base: jnp.ndarray, k_over_l2: jnp.ndarray,
+                  *, params: LUTParams, wavelet_levels: int,
+                  coding_passes: int, has_k: bool):
+    """Encode (N, 64, 64) int32 codeblocks -> (streams (N, 4096), sizes)."""
+    n = blocks.shape[0]
+    prec = params.mult_precision
+    stride = params.stride_per_group(wavelet_levels)
+
+    mag = jnp.abs(blocks).astype(_U)
+    sign = (blocks < 0).astype(_U)
+    words = (mag << 1) | sign
+    if coding_passes == 3:
+        words = words | _CP_BIT
+
+    # findMSB / findMSB3CP
+    msb_or = _or_reduce_rows((words >> 1).reshape(n, -1))
+    if coding_passes == 3:
+        msb_or = msb_or & ~_REF_BIT
+    msb = 31 - jax.lax.clz(msb_or).astype(jnp.int32)   # -1 for empty blocks
+    empty = msb_or == 0
+
+    if has_k and coding_passes == 2:
+        consec = jnp.maximum(jnp.floor(msb.astype(jnp.float32) * k_over_l2), 0
+                             ).astype(jnp.int32)
+        s_group = jnp.minimum(consec, jnp.maximum(msb, 0))
+        s_off = s_group * stride
+    else:
+        consec = jnp.zeros(n, jnp.int32)
+        s_off = jnp.zeros(n, jnp.int32)
+
+    ref_b = ref_base + s_off
+    sig_b = sig_base + s_off
+    sign_b = sign_base + s_off
+
+    te, to = _to_grids(words)
+    out = jnp.full((n, spec.CBLOCK_SIZE), -1, jnp.int32)
+    ac = (jnp.zeros((n, _LANES), jnp.int32), jnp.zeros((n, _LANES), jnp.int32),
+          jnp.zeros((n, _LANES), jnp.int32), jnp.zeros(n, jnp.int32), out)
+
+    max_msb = jnp.maximum(jnp.max(msb), 0)
+
+    def prefetch(base, nctx, plane):
+        idx = base[:, None] + plane * nctx + jnp.arange(nctx)
+        return lut[jnp.clip(idx, 0, lut.shape[0] - 1)]
+
+    def plane_step(i, st):
+        te, to, ac = st
+        plane = max_msb - i
+        in_range = (plane <= msb) & (plane >= 0)
+        sig9 = prefetch(sig_b, 9, plane)
+        sign4 = prefetch(sign_b, 4, plane)
+        ref1 = lut[jnp.clip(ref_b + plane, 0, lut.shape[0] - 1)]
+        if coding_passes == 2:
+            act = in_range & (plane >= consec)
+            te, to, ac = _spp_pass((te, to, ac), plane, act, sig9, sign4, prec,
+                                   True, False)
+            te, to, ac = _mrp_pass((te, to, ac), plane, act, ref1, prec, True)
+        else:
+            cpsig9 = prefetch(cp_sig_base, 9, plane)
+            cpsign4 = prefetch(cp_sign_base, 4, plane)
+            spp_act = in_range & (plane < msb)
+            te, to, ac = _spp_pass((te, to, ac), plane, spp_act, sig9, sign4,
+                                   prec, True, True)
+            te, to, ac = _mrp_pass((te, to, ac), plane, spp_act, ref1, prec,
+                                   True)
+            te, to, ac = _cp_pass((te, to, ac), plane, in_range, cpsig9,
+                                  cpsign4, prec, True)
+        return te, to, ac
+
+    te, to, ac = jax.lax.fori_loop(0, max_msb + 1, plane_step, (te, to, ac))
+
+    if has_k and coding_passes == 2:
+        entry = jnp.minimum(consec, jnp.maximum(msb, 0)) - 1
+        entry = jnp.where(consec > msb, msb, entry)
+        bulk_act = (entry >= 0) & ~empty
+        max_entry = jnp.maximum(jnp.max(entry), 0)
+        te, to, ac = _bulk_pass((te, to, ac), jnp.maximum(entry, 0), bulk_act,
+                                (ref_b, sig_b, sign_b), lut, prec, max_entry,
+                                True)
+
+    low, size, resv, counter, out = ac
+    # final flush: every lane stores its last codeword (BPCEngine.cu:1719)
+    bidx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    out = out.at[bidx, resv].set(low, mode="drop")
+
+    out = out.at[:, 0].set(jnp.where(empty, 32, msb))
+    sizes = jnp.where(empty, 1, counter + 1)
+
+    raw = _raw_layout(_from_grids(te, to))
+    expand = (sizes == spec.CBLOCK_SIZE)[:, None]
+    out = jnp.where(expand, raw, out)
+    return out, sizes
+
+
+@partial(jax.jit, static_argnames=("params", "wavelet_levels", "coding_passes",
+                                   "has_k"))
+def decode_blocks(streams: jnp.ndarray, sizes: jnp.ndarray, lut: jnp.ndarray,
+                  ref_base: jnp.ndarray, sig_base: jnp.ndarray,
+                  sign_base: jnp.ndarray, cp_sig_base: jnp.ndarray,
+                  cp_sign_base: jnp.ndarray, k_over_l2: jnp.ndarray,
+                  *, params: LUTParams, wavelet_levels: int,
+                  coding_passes: int, has_k: bool) -> jnp.ndarray:
+    """Decode (N, 4096) streams -> (N, 64, 64) int32 coefficients."""
+    n = streams.shape[0]
+    prec = params.mult_precision
+    stride = params.stride_per_group(wavelet_levels)
+
+    msb_word = streams[:, 0]
+    is_raw = sizes == spec.CBLOCK_SIZE
+    skip = (msb_word == 32) | is_raw
+    msb = jnp.where(skip, -1, msb_word)
+
+    if has_k and coding_passes == 2:
+        consec = jnp.maximum(jnp.floor(msb.astype(jnp.float32) * k_over_l2), 0
+                             ).astype(jnp.int32)
+        s_group = jnp.minimum(consec, jnp.maximum(msb, 0))
+        s_off = s_group * stride
+    else:
+        consec = jnp.zeros(n, jnp.int32)
+        s_off = jnp.zeros(n, jnp.int32)
+
+    ref_b = ref_base + s_off
+    sig_b = sig_base + s_off
+    sign_b = sign_base + s_off
+
+    init = jnp.zeros((n, _ROWS, _ROWS), _U)
+    if coding_passes == 3:
+        init = init | _CP_BIT   # initializeCoefficients3CP (BPCEngine.cu:124)
+    te, to = _to_grids(init)
+
+    ac = (jnp.zeros((n, _LANES), jnp.int32), jnp.zeros((n, _LANES), jnp.int32),
+          jnp.zeros((n, _LANES), jnp.int32), jnp.zeros(n, jnp.int32), streams)
+
+    max_msb = jnp.maximum(jnp.max(msb), 0)
+
+    def prefetch(base, nctx, plane):
+        idx = base[:, None] + plane * nctx + jnp.arange(nctx)
+        return lut[jnp.clip(idx, 0, lut.shape[0] - 1)]
+
+    def plane_step(i, st):
+        te, to, ac = st
+        plane = max_msb - i
+        in_range = (plane <= msb) & (plane >= 0)
+        sig9 = prefetch(sig_b, 9, plane)
+        sign4 = prefetch(sign_b, 4, plane)
+        ref1 = lut[jnp.clip(ref_b + plane, 0, lut.shape[0] - 1)]
+        if coding_passes == 2:
+            act = in_range & (plane >= consec)
+            te, to, ac = _spp_pass((te, to, ac), plane, act, sig9, sign4, prec,
+                                   False, False)
+            te, to, ac = _mrp_pass((te, to, ac), plane, act, ref1, prec, False)
+        else:
+            cpsig9 = prefetch(cp_sig_base, 9, plane)
+            cpsign4 = prefetch(cp_sign_base, 4, plane)
+            spp_act = in_range & (plane < msb)
+            te, to, ac = _spp_pass((te, to, ac), plane, spp_act, sig9, sign4,
+                                   prec, False, True)
+            te, to, ac = _mrp_pass((te, to, ac), plane, spp_act, ref1, prec,
+                                   False)
+            te, to, ac = _cp_pass((te, to, ac), plane, in_range, cpsig9,
+                                  cpsign4, prec, False)
+        return te, to, ac
+
+    te, to, ac = jax.lax.fori_loop(0, max_msb + 1, plane_step, (te, to, ac))
+
+    if has_k and coding_passes == 2:
+        entry = jnp.minimum(consec, jnp.maximum(msb, 0)) - 1
+        entry = jnp.where(consec > msb, msb, entry)
+        bulk_act = entry >= 0
+        max_entry = jnp.maximum(jnp.max(entry), 0)
+        te, to, ac = _bulk_pass((te, to, ac), jnp.maximum(entry, 0), bulk_act,
+                                (ref_b, sig_b, sign_b), lut, prec, max_entry,
+                                False)
+
+    words = _from_grids(te, to)
+    words = jnp.where(is_raw[:, None, None], _raw_unlayout(streams), words)
+
+    out = ((words & spec.MAGNITUDE_MASK) >> 1).astype(jnp.int32)
+    return jnp.where((words & 1) == 1, -out, out)
+
+
+# --------------------------------------------------------------------------
+# Convenience wrappers: metadata preparation + jitted call
+# --------------------------------------------------------------------------
+
+def _meta_args(levels, subbands, params, wavelet_levels, coding_passes,
+               k_factor):
+    meta = block_metadata(np.asarray(levels), np.asarray(subbands), params,
+                          wavelet_levels, coding_passes, k_factor)
+    zeros = np.zeros(len(levels), dtype=np.int32)
+    return (meta["ref"], meta["sig"], meta["sign"],
+            meta.get("cp_sig", zeros), meta.get("cp_sign", zeros),
+            meta["k_over_l2"])
+
+
+def encode(blocks, levels, subbands, lut, params: LUTParams,
+           wavelet_levels: int, coding_passes: int = 2, k_factor: float = 0.0):
+    """NumPy-friendly entry: encode codeblocks on the default device."""
+    args = _meta_args(levels, subbands, params, wavelet_levels, coding_passes,
+                      k_factor)
+    out, sizes = encode_blocks(
+        jnp.asarray(blocks, jnp.int32), jnp.asarray(lut, jnp.int32), *args,
+        params=params, wavelet_levels=wavelet_levels,
+        coding_passes=coding_passes, has_k=k_factor > 0)
+    return np.asarray(out), np.asarray(sizes)
+
+
+def decode(streams, sizes, levels, subbands, lut, params: LUTParams,
+           wavelet_levels: int, coding_passes: int = 2, k_factor: float = 0.0):
+    """NumPy-friendly entry: decode codeblock streams."""
+    args = _meta_args(levels, subbands, params, wavelet_levels, coding_passes,
+                      k_factor)
+    out = decode_blocks(
+        jnp.asarray(streams, jnp.int32), jnp.asarray(sizes, jnp.int32),
+        jnp.asarray(lut, jnp.int32), *args,
+        params=params, wavelet_levels=wavelet_levels,
+        coding_passes=coding_passes, has_k=k_factor > 0)
+    return np.asarray(out)
