@@ -1,0 +1,172 @@
+"""Single-device encode/decode engine: the TPU equivalent of runImage.
+
+Orchestration mirror of Engines/CodingEngine.cu:593-753 and
+Engines/DecodingEngine.cu:734-861, re-shaped for XLA: the whole per-plane
+compute path — DC shift / color transform, multi-level DWT, codeblock
+tiling, BPC-PaCo — is one jit-compiled device program per component; the
+host only does file IO, mirror padding and codestream relocation (the
+reference also round-trips packing sizes through the host,
+BitStreamBuilder.cu:300).
+
+A `TPUCodec` instance caches the compiled programs and per-geometry
+codeblock metadata, so video frames reuse the same executable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly.pack import pack_streams, unpack_streams
+from ..core import spec
+from ..core.geometry import (codeblock_bands, codeblocks_to_plane,
+                             plane_to_codeblocks)
+from ..core.header import CodecConfig, pack_header
+from ..core.image_io import mirror_pad
+from ..core.lut import LUTParams
+from ..entropy import bpc_jax
+from ..transform.dwt import dwt_forward, dwt_reverse
+
+
+class TPUCodec:
+    """Reusable encoder/decoder for one image geometry + configuration."""
+
+    def __init__(self, cfg: CodecConfig, luts: list[np.ndarray],
+                 params: LUTParams):
+        self.cfg = cfg
+        self.params = params
+        self.luts = [jnp.asarray(l, jnp.int32) for l in luts]
+        self.aw, self.ah = spec.adapted_size(cfg.width, cfg.height)
+        levels, subbands = codeblock_bands(self.aw, self.ah, cfg.wavelet_levels)
+        self.ncb = len(levels)
+        meta = bpc_jax._meta_args(levels, subbands, params, cfg.wavelet_levels,
+                                  cfg.coding_passes, cfg.k_factor)
+        self._meta = tuple(jnp.asarray(m) for m in meta)
+        self._kw = dict(params=params, wavelet_levels=cfg.wavelet_levels,
+                        coding_passes=cfg.coding_passes,
+                        has_k=cfg.k_factor > 0)
+        self._encode_plane = jax.jit(self._encode_plane_impl)
+        self._decode_plane = jax.jit(self._decode_plane_impl)
+        self._prep_gray = jax.jit(self._prep_gray_impl)
+        self._prep_rgb = jax.jit(self._prep_rgb_impl)
+        self._finish_gray = jax.jit(self._finish_gray_impl)
+        self._finish_rgb = jax.jit(self._finish_rgb_impl)
+
+    # -- device programs ---------------------------------------------------
+
+    @property
+    def _offset(self) -> int:
+        return 0 if self.cfg.is_signed else (1 << (self.cfg.bit_depth - 1))
+
+    def _prep_gray_impl(self, plane_u8):
+        """DC level shift (offsetImage, CodingEngine.cu:581-588)."""
+        shifted = plane_u8.astype(jnp.int32) - self._offset
+        return shifted.astype(jnp.float32) if self.cfg.is_lossy else shifted
+
+    def _prep_rgb_impl(self, r, g, b):
+        """Color transform + DC shift (CodingEngine.cu:357-403)."""
+        ri = r.astype(jnp.int32) - self._offset
+        gi = g.astype(jnp.int32) - self._offset
+        bi = b.astype(jnp.int32) - self._offset
+        if self.cfg.is_lossy:
+            rf, gf, bf = (x.astype(jnp.float32) for x in (ri, gi, bi))
+            m = spec.ICT_FORWARD
+            return (m[0, 0] * rf + m[0, 1] * gf + m[0, 2] * bf,
+                    m[1, 0] * rf + m[1, 1] * gf + m[1, 2] * bf,
+                    m[2, 0] * rf + m[2, 1] * gf + m[2, 2] * bf)
+        y = (ri + 2 * gi + bi) >> 2
+        return y, bi - gi, ri - gi
+
+    def _encode_plane_impl(self, plane, lut):
+        cfg = self.cfg
+        coeffs = dwt_forward(plane, cfg.wavelet_levels, cfg.is_lossy, cfg.qs)
+        coeffs = coeffs.astype(jnp.int32)
+        blocks = plane_to_codeblocks(coeffs)
+        return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw)
+
+    def _decode_plane_impl(self, streams, sizes, lut):
+        cfg = self.cfg
+        blocks = bpc_jax.decode_blocks(streams, sizes, lut, *self._meta,
+                                       **self._kw)
+        mallat = codeblocks_to_plane(blocks, self.ah, self.aw)
+        return dwt_reverse(mallat, cfg.wavelet_levels, cfg.is_lossy, cfg.qs)
+
+    def _finish_gray_impl(self, plane):
+        """Undo DC shift and clamp (removeOffsetAndApplyMaxMin,
+        DecodingEngine.cu:706-729)."""
+        if self.cfg.is_lossy:
+            vals = jnp.rint(plane + jnp.float32(self._offset) + jnp.float32(0.01))
+            return jnp.clip(vals, 0, 255).astype(jnp.uint8)
+        return jnp.clip(plane + self._offset, 0, 255).astype(jnp.uint8)
+
+    def _finish_rgb_impl(self, c0, c1, c2):
+        """Inverse color transform + clamp (DecodingEngine.cu:599-650)."""
+        off = self._offset
+        if self.cfg.is_lossy:
+            m = spec.ICT_BACKWARD
+            outs = []
+            for row in range(3):
+                v = m[row, 0] * c0 + m[row, 1] * c1 + m[row, 2] * c2
+                outs.append(jnp.rint(v + jnp.float32(0.01)).astype(jnp.int32))
+            r, g, b = outs
+        else:
+            y, u, v = (c.astype(jnp.int32) for c in (c0, c1, c2))
+            g = y - ((u + v) >> 2)
+            r = v + g
+            b = u + g
+        return tuple(jnp.clip(c + off, 0, 255).astype(jnp.uint8)
+                     for c in (r, g, b))
+
+    # -- host-facing API ---------------------------------------------------
+
+    def encode(self, pixels) -> list[np.ndarray]:
+        """uint8 plane (gray) or [R, G, B] planes -> component codestreams."""
+        cfg = self.cfg
+        header = pack_header(cfg)
+        if cfg.is_rgb:
+            planes = [jnp.asarray(mirror_pad(np.asarray(p, np.uint8),
+                                             self.aw, self.ah))
+                      for p in pixels]
+            comps = self._prep_rgb(*planes)
+        else:
+            plane = jnp.asarray(mirror_pad(np.asarray(pixels, np.uint8),
+                                           self.aw, self.ah))
+            comps = [self._prep_gray(plane)]
+        out = []
+        for i, comp in enumerate(comps):
+            lut = self.luts[min(i, len(self.luts) - 1)]
+            streams, sizes = self._encode_plane(comp, lut)
+            out.append(pack_streams(np.asarray(streams), np.asarray(sizes),
+                                    header if i == 0 else None))
+        return out
+
+    def decode(self, component_streams: list[np.ndarray]):
+        """Component codestreams -> uint8 plane(s) cropped to (h, w)."""
+        cfg = self.cfg
+        planes = []
+        for i, shorts in enumerate(component_streams):
+            streams, sizes = unpack_streams(shorts, self.ncb)
+            lut = self.luts[min(i, len(self.luts) - 1)]
+            planes.append(self._decode_plane(jnp.asarray(streams),
+                                             jnp.asarray(sizes, jnp.int32),
+                                             lut))
+        if cfg.is_rgb:
+            rgb = self._finish_rgb(*planes)
+            return [np.asarray(p)[:cfg.height, :cfg.width] for p in rgb]
+        plane = self._finish_gray(planes[0])
+        return np.asarray(plane)[:cfg.height, :cfg.width]
+
+
+# --------------------------------------------------------------------------
+# One-shot helpers
+# --------------------------------------------------------------------------
+
+def encode_image(pixels, cfg: CodecConfig, luts, params: LUTParams):
+    return TPUCodec(cfg, luts, params).encode(pixels)
+
+
+def decode_image(component_streams, cfg: CodecConfig, luts, params: LUTParams):
+    return TPUCodec(cfg, luts, params).decode(component_streams)

@@ -1,0 +1,120 @@
+"""Engine gates: JAX pipeline streams match the oracle bit-for-bit and the
+vectorized pack matches the oracle pack."""
+
+import numpy as np
+import pytest
+
+from picsong_tpu.assembly.pack import pack_streams, unpack_streams
+from picsong_tpu.core.header import CodecConfig, unpack_header
+from picsong_tpu.core.lut import LUTParams, neutral_lut
+from picsong_tpu.engine.pipeline import TPUCodec
+from picsong_tpu.reference import codec as oracle
+
+PARAMS = LUTParams()
+
+
+def make_image(rng, h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    base = (96 + 64 * np.sin(x / 9.0) * np.cos(y / 13.0)
+            + rng.normal(0, 8, size=(h, w)))
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def test_vectorized_pack_matches_oracle():
+    rng = np.random.default_rng(0)
+    ncb = 7
+    streams = np.full((ncb, 4096), -1, dtype=np.int32)
+    sizes = np.zeros(ncb, dtype=np.int64)
+    for i in range(ncb):
+        n = int(rng.integers(1, 500))
+        streams[i, 0] = int(rng.integers(0, 15))
+        streams[i, 1:n] = rng.integers(0, 65536, size=n - 1)
+        sizes[i] = n
+    from picsong_tpu.core.header import pack_header
+    header = pack_header(CodecConfig(width=448, height=64))
+    want = oracle.pack_streams(streams, sizes, header)
+    got = pack_streams(streams, sizes, header)
+    assert np.array_equal(got, want)
+    s2, n2 = unpack_streams(got, ncb)
+    assert np.array_equal(n2, sizes)
+    for i in range(ncb):
+        assert np.array_equal(s2[i, :sizes[i]], streams[i, :sizes[i]])
+
+
+def test_engine_lossless_matches_oracle_streams():
+    """The full JAX pipeline emits the same bytes as the NumPy oracle."""
+    rng = np.random.default_rng(1)
+    img = make_image(rng, 128, 128)
+    cfg = CodecConfig(width=128, height=128, wavelet_levels=2)
+    lut = neutral_lut(PARAMS, 2, 2)
+    want = oracle.encode_image(img, cfg, [lut], PARAMS)
+    codec = TPUCodec(cfg, [lut], PARAMS)
+    got = codec.encode(img)
+    assert len(got) == len(want) == 1
+    assert np.array_equal(got[0], want[0])
+    out = codec.decode(got)
+    assert np.array_equal(out, img)
+
+
+def test_engine_lossless_nonmultiple_roundtrip():
+    rng = np.random.default_rng(2)
+    img = make_image(rng, 90, 130)
+    cfg = CodecConfig(width=130, height=90, wavelet_levels=1)
+    lut = neutral_lut(PARAMS, 1, 2)
+    codec = TPUCodec(cfg, [lut], PARAMS)
+    streams = codec.encode(img)
+    cfg2 = unpack_header(streams[0][:9])
+    assert (cfg2.width, cfg2.height) == (130, 90)
+    out = TPUCodec(cfg2, [lut], PARAMS).decode(streams)
+    assert np.array_equal(out, img)
+
+
+def test_engine_lossy_psnr():
+    rng = np.random.default_rng(3)
+    img = make_image(rng, 128, 128)
+    cfg = CodecConfig(width=128, height=128, wavelet_levels=3, is_lossy=True,
+                      qs=1.0)
+    lut = neutral_lut(PARAMS, 3, 2)
+    codec = TPUCodec(cfg, [lut], PARAMS)
+    out = codec.decode(codec.encode(img))
+    err = out.astype(np.float64) - img.astype(np.float64)
+    psnr = 10 * np.log10(255.0 ** 2 / max(float(np.mean(err * err)), 1e-12))
+    assert psnr > 40.0, f"PSNR {psnr:.2f}"
+
+
+def test_engine_rgb_lossless_roundtrip():
+    rng = np.random.default_rng(4)
+    planes = [make_image(rng, 64, 64) for _ in range(3)]
+    cfg = CodecConfig(width=64, height=64, wavelet_levels=1, is_rgb=True,
+                      components=3)
+    lut = neutral_lut(PARAMS, 1, 2)
+    codec = TPUCodec(cfg, [lut] * 3, PARAMS)
+    streams = codec.encode(planes)
+    assert len(streams) == 3
+    out = codec.decode(streams)
+    for got, want in zip(out, planes):
+        assert np.array_equal(got, want)
+
+
+def test_engine_rgb_lossy_quality():
+    rng = np.random.default_rng(5)
+    planes = [make_image(rng, 64, 64) for _ in range(3)]
+    cfg = CodecConfig(width=64, height=64, wavelet_levels=2, is_rgb=True,
+                      components=3, is_lossy=True, qs=1.0)
+    lut = neutral_lut(PARAMS, 2, 2)
+    codec = TPUCodec(cfg, [lut] * 3, PARAMS)
+    out = codec.decode(codec.encode(planes))
+    for got, want in zip(out, planes):
+        err = got.astype(np.float64) - want.astype(np.float64)
+        psnr = 10 * np.log10(255.0 ** 2 / max(float(np.mean(err * err)), 1e-12))
+        assert psnr > 30.0, f"PSNR {psnr:.2f}"
+
+
+def test_engine_k_factor_roundtrip():
+    rng = np.random.default_rng(6)
+    img = make_image(rng, 128, 128)
+    cfg = CodecConfig(width=128, height=128, wavelet_levels=2, k_factor=2.0)
+    lut = neutral_lut(PARAMS, 2, 2, n_groups=PARAMS.n_bitplane_files)
+    codec = TPUCodec(cfg, [lut], PARAMS)
+    out = codec.decode(codec.encode(img))
+    assert np.array_equal(out, img)
