@@ -1,0 +1,109 @@
+"""Benchmark harness: MPixels/s/chip for encode+decode round trips.
+
+Runs the jitted single-device pipeline on the default accelerator (the
+real TPU chip under the driver) over the BASELINE workload family and
+prints one JSON line:
+
+  {"metric": ..., "value": N, "unit": "MPixels/s", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+reported against the BASELINE.json north-star acceptance value of
+100 MPixels/s/chip for a lossless 5/3 + BPC round trip.
+
+Flags:
+  --size N       image edge (default 2048)
+  --levels N     wavelet levels (default 5)
+  --lossy        benchmark the 9/7 + quantization path
+  --iters N      timed iterations (default 3)
+  --quick        512x512, 1 level, 1 iter (smoke test)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_MPS = 100.0  # acceptance floor, MPixels/s/chip round trip
+
+
+def make_image(size: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    y, x = np.mgrid[0:size, 0:size]
+    base = (96 + 64 * np.sin(x / 9.0) * np.cos(y / 13.0)
+            + rng.normal(0, 8, size=(size, size)))
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=2048)
+    ap.add_argument("--levels", type=int, default=5)
+    ap.add_argument("--lossy", action="store_true")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.size, args.levels, args.iters = 512, 1, 1
+
+    import jax
+    import jax.numpy as jnp
+
+    from picsong_tpu.core.header import CodecConfig
+    from picsong_tpu.core.lut import LUTParams, neutral_lut
+    from picsong_tpu.engine.pipeline import TPUCodec
+
+    cfg = CodecConfig(width=args.size, height=args.size,
+                      wavelet_levels=args.levels, is_lossy=args.lossy, qs=1.0)
+    params = LUTParams()
+    lut = neutral_lut(params, cfg.wavelet_levels, cfg.coding_passes)
+    # PICSONG_LUT_PAD: cache-busting knob — padding the (index-clipped) LUT
+    # changes the HLO hash without changing semantics, forcing a fresh
+    # compile (the remote TPU compiler is observably nondeterministic; a
+    # re-roll can replace a badly-autotuned cached binary)
+    import os
+    pad = int(os.environ.get("PICSONG_LUT_PAD", "0"))
+    if pad:
+        lut = np.concatenate([lut, np.full(pad, 64, dtype=np.int32)])
+    codec = TPUCodec(cfg, [lut], params)
+    img = make_image(args.size)
+
+    # device-only round trip (jitted encode + decode, host pack excluded
+    # from the hot loop like the reference's "without allocation" timer)
+    from picsong_tpu.entropy import bpc_jax
+
+    plane = jnp.asarray(codec._prep_gray(jnp.asarray(img)))
+    _, max_mag = codec._dwt_tile(plane)
+    n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
+
+    def roundtrip():
+        streams, sizes = codec._encode_plane(plane, codec.luts[0])
+        out = codec._decode_plane(streams, sizes, codec.luts[0], n_planes)
+        return out
+
+    out = roundtrip()
+    out.block_until_ready()           # compile + warm up
+    if not args.lossy:
+        assert np.array_equal(np.asarray(out), np.asarray(plane)), \
+            "lossless round trip not bit-exact"
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = roundtrip()
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    mpix = args.size * args.size * args.iters / dt / 1e6
+    mode = "lossy97" if args.lossy else "lossless53"
+    print(json.dumps({
+        "metric": f"MPixels/s/chip encode+decode {mode} {args.size}x{args.size}",
+        "value": round(mpix, 3),
+        "unit": "MPixels/s",
+        "vs_baseline": round(mpix / BASELINE_MPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

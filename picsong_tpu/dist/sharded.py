@@ -1,0 +1,250 @@
+"""Device-mesh sharded pipelines: multi-chip scaling for images and video.
+
+The reference is single-GPU (SURVEY.md section 2); this layer is the new
+capability mandated by BASELINE configs 3-5. Design follows the standard
+TPU recipe — pick a mesh, annotate shardings, let XLA's SPMD partitioner
+insert the collectives over ICI:
+
+- Image mode: the plane is sharded by rows across the mesh. The lifting
+  DWT's neighbor reads (`concatenate` of shifted slices) become halo
+  exchanges; the Mallat deinterleave and codeblock tiling become
+  all-to-alls; BPC codeblocks are embarrassingly parallel on the codeblock
+  axis (the only cross-device value is the global max-MSB plane count, a
+  scalar all-reduce). The per-block sizes are gathered to the host for
+  packing — the distributed generalization of the reference's CUB prefix
+  sum round trip (BitStreamBuilder.cu:300).
+
+- Video mode: frames are data-parallel across the mesh (the TPU analogue
+  of the reference's N CUDA streams, CodingEngine.cu:758-983): a batch of
+  F frames is sharded on the frame axis and encoded by one SPMD program.
+
+Sharded programs produce bit-identical codestreams to the single-device
+engine (gated in tests/test_dist.py on an 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..assembly.pack import pack_streams
+from ..core import spec
+from ..core.geometry import codeblock_bands, plane_to_codeblocks
+from ..core.header import CodecConfig, pack_header
+from ..core.image_io import mirror_pad
+from ..core.lut import LUTParams
+from ..entropy import bpc_jax
+from ..transform.dwt import dwt_forward, dwt_reverse
+from ..core.geometry import codeblocks_to_plane
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+class ShardedCodec:
+    """Row-sharded single-image pipeline over a 1-D device mesh."""
+
+    def __init__(self, cfg: CodecConfig, luts, params: LUTParams, mesh: Mesh):
+        self.cfg = cfg
+        self.params = params
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.luts = [jnp.asarray(l, jnp.int32) for l in luts]
+        self.aw, self.ah = spec.adapted_size(cfg.width, cfg.height)
+        ndev = mesh.devices.size
+        if self.ah % (spec.CBLOCK_LENGTH * ndev) != 0:
+            raise ValueError(
+                f"adapted height {self.ah} must be a multiple of "
+                f"{spec.CBLOCK_LENGTH}*{ndev} for row sharding")
+        levels, subbands = codeblock_bands(self.aw, self.ah, cfg.wavelet_levels)
+        self.ncb = len(levels)
+        meta = bpc_jax._meta_args(levels, subbands, params, cfg.wavelet_levels,
+                                  cfg.coding_passes, cfg.k_factor)
+        self._meta = tuple(jnp.asarray(m) for m in meta)
+        self._kw = dict(params=params, wavelet_levels=cfg.wavelet_levels,
+                        coding_passes=cfg.coding_passes,
+                        has_k=cfg.k_factor > 0)
+
+        row_sharded = NamedSharding(mesh, P(self.axis, None))
+        cb_sharded = NamedSharding(mesh, P(self.axis, None, None))
+        repl = NamedSharding(mesh, P())
+
+        self._cb_sharded = cb_sharded
+        self._repl = repl
+        self._dwt_tile = jax.jit(
+            self._dwt_tile_impl, in_shardings=(row_sharded,),
+            out_shardings=(cb_sharded, repl))
+        self._encode_cache = {}
+        self._decode_cache = {}
+        self._untile_idwt = jax.jit(
+            self._untile_idwt_impl, in_shardings=(cb_sharded,),
+            out_shardings=row_sharded)
+
+    def _dwt_tile_impl(self, plane):
+        cfg = self.cfg
+        coeffs = dwt_forward(plane, cfg.wavelet_levels, cfg.is_lossy, cfg.qs)
+        coeffs = coeffs.astype(jnp.int32)
+        blocks = plane_to_codeblocks(coeffs)
+        blocks = jax.lax.with_sharding_constraint(
+            blocks, NamedSharding(self.mesh, P(self.axis, None, None)))
+        return blocks, jnp.max(jnp.abs(blocks))
+
+    def _untile_idwt_impl(self, blocks):
+        cfg = self.cfg
+        mallat = codeblocks_to_plane(blocks, self.ah, self.aw)
+        mallat = jax.lax.with_sharding_constraint(
+            mallat, NamedSharding(self.mesh, P(self.axis, None)))
+        return dwt_reverse(mallat, cfg.wavelet_levels, cfg.is_lossy, cfg.qs)
+
+    def _encode_fn(self, n_planes):
+        if n_planes not in self._encode_cache:
+            self._encode_cache[n_planes] = jax.jit(
+                lambda blocks, lut: bpc_jax.encode_blocks(
+                    blocks, lut, *self._meta, **self._kw, n_planes=n_planes),
+                in_shardings=(self._cb_sharded, self._repl),
+                out_shardings=(NamedSharding(self.mesh, P(self.axis, None)),
+                               NamedSharding(self.mesh, P(self.axis))))
+        return self._encode_cache[n_planes]
+
+    def _decode_fn(self, n_planes):
+        if n_planes not in self._decode_cache:
+            self._decode_cache[n_planes] = jax.jit(
+                lambda streams, sizes, lut: bpc_jax.decode_blocks(
+                    streams, sizes, lut, *self._meta, **self._kw,
+                    n_planes=n_planes),
+                in_shardings=(NamedSharding(self.mesh, P(self.axis, None)),
+                              NamedSharding(self.mesh, P(self.axis)),
+                              self._repl),
+                out_shardings=self._cb_sharded)
+        return self._decode_cache[n_planes]
+
+    def encode_plane(self, plane_shifted):
+        """Encode one DC-shifted component plane; returns (streams, sizes)."""
+        lut = self.luts[0]
+        blocks, max_mag = self._dwt_tile(jnp.asarray(plane_shifted))
+        n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
+        streams, sizes = self._encode_fn(n_planes)(blocks, lut)
+        return np.asarray(streams), np.asarray(sizes)
+
+    def decode_plane(self, streams, sizes):
+        lut = self.luts[0]
+        n_planes = bpc_jax.planes_for_streams(np.asarray(streams)[:, 0], sizes)
+        blocks = self._decode_fn(n_planes)(jnp.asarray(streams, jnp.int32),
+                                           jnp.asarray(sizes, jnp.int32), lut)
+        out = self._untile_idwt(blocks)
+        return np.asarray(out)
+
+    def encode(self, pixels) -> list[np.ndarray]:
+        """uint8 grayscale image -> packed codestream (header included)."""
+        cfg = self.cfg
+        offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
+        plane = mirror_pad(np.asarray(pixels, np.uint8), self.aw, self.ah)
+        shifted = plane.astype(np.int32) - offset
+        if cfg.is_lossy:
+            shifted = shifted.astype(np.float32)
+        streams, sizes = self.encode_plane(shifted)
+        return [pack_streams(streams, sizes, pack_header(cfg))]
+
+
+class FrameParallelCodec:
+    """Data-parallel video: a frame batch sharded over the mesh."""
+
+    def __init__(self, cfg: CodecConfig, luts, params: LUTParams, mesh: Mesh):
+        self.cfg = cfg
+        self.params = params
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.luts = [jnp.asarray(l, jnp.int32) for l in luts]
+        self.aw, self.ah = spec.adapted_size(cfg.width, cfg.height)
+        levels, subbands = codeblock_bands(self.aw, self.ah, cfg.wavelet_levels)
+        self.ncb = len(levels)
+        meta = bpc_jax._meta_args(levels, subbands, params, cfg.wavelet_levels,
+                                  cfg.coding_passes, cfg.k_factor)
+        self._meta = tuple(jnp.asarray(m) for m in meta)
+        self._kw = dict(params=params, wavelet_levels=cfg.wavelet_levels,
+                        coding_passes=cfg.coding_passes,
+                        has_k=cfg.k_factor > 0)
+        self._batch = NamedSharding(mesh, P(self.axis))
+        self._repl = repl = NamedSharding(mesh, P())
+        batch = self._batch
+        self._prep = jax.jit(self._prep_impl, in_shardings=(batch,),
+                             out_shardings=(batch, repl))
+        self._encode_cache = {}
+        self._decode_cache = {}
+
+    def _prep_impl(self, frames):
+        cfg = self.cfg
+        offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
+
+        def one(plane):
+            shifted = plane.astype(jnp.int32) - offset
+            if cfg.is_lossy:
+                shifted = shifted.astype(jnp.float32)
+            coeffs = dwt_forward(shifted, cfg.wavelet_levels, cfg.is_lossy,
+                                 cfg.qs)
+            return plane_to_codeblocks(coeffs.astype(jnp.int32))
+
+        blocks = jax.vmap(one)(frames)
+        return blocks, jnp.max(jnp.abs(blocks))
+
+    def _encode_fn(self, n_planes):
+        if n_planes not in self._encode_cache:
+            def impl(blocks, lut):
+                return jax.vmap(
+                    lambda b: bpc_jax.encode_blocks(
+                        b, lut, *self._meta, **self._kw, n_planes=n_planes)
+                )(blocks)
+            self._encode_cache[n_planes] = jax.jit(
+                impl, in_shardings=(self._batch, self._repl),
+                out_shardings=(self._batch, self._batch))
+        return self._encode_cache[n_planes]
+
+    def _decode_fn(self, n_planes):
+        if n_planes not in self._decode_cache:
+            cfg = self.cfg
+            offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
+
+            def frame_decode(streams, sizes, lut):
+                blocks = bpc_jax.decode_blocks(streams, sizes, lut,
+                                               *self._meta, **self._kw,
+                                               n_planes=n_planes)
+                mallat = codeblocks_to_plane(blocks, self.ah, self.aw)
+                plane = dwt_reverse(mallat, cfg.wavelet_levels, cfg.is_lossy,
+                                    cfg.qs)
+                if cfg.is_lossy:
+                    vals = jnp.rint(plane + np.float32(offset)
+                                    + np.float32(0.01))
+                    return jnp.clip(vals, 0, 255).astype(jnp.uint8)
+                return jnp.clip(plane + offset, 0, 255).astype(jnp.uint8)
+
+            def impl(streams, sizes, lut):
+                return jax.vmap(frame_decode, in_axes=(0, 0, None))(
+                    streams, sizes, lut)
+
+            self._decode_cache[n_planes] = jax.jit(
+                impl, in_shardings=(self._batch, self._batch, self._repl),
+                out_shardings=self._batch)
+        return self._decode_cache[n_planes]
+
+    def encode_batch(self, frames_u8: np.ndarray):
+        """(F, H, W) uint8 padded frames -> ((F, ncb, 4096), (F, ncb))."""
+        blocks, max_mag = self._prep(jnp.asarray(frames_u8))
+        n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
+        streams, sizes = self._encode_fn(n_planes)(blocks, self.luts[0])
+        return np.asarray(streams), np.asarray(sizes)
+
+    def decode_batch(self, streams, sizes):
+        streams = np.asarray(streams)
+        n_planes = bpc_jax.planes_for_streams(
+            streams[:, :, 0].reshape(-1), np.asarray(sizes).reshape(-1))
+        out = self._decode_fn(n_planes)(jnp.asarray(streams, jnp.int32),
+                                        jnp.asarray(sizes, jnp.int32),
+                                        self.luts[0])
+        return np.asarray(out)

@@ -48,8 +48,8 @@ class TPUCodec:
         self._kw = dict(params=params, wavelet_levels=cfg.wavelet_levels,
                         coding_passes=cfg.coding_passes,
                         has_k=cfg.k_factor > 0)
-        self._encode_plane = jax.jit(self._encode_plane_impl)
-        self._decode_plane = jax.jit(self._decode_plane_impl)
+        self._dwt_tile = jax.jit(self._dwt_tile_impl)
+        self._untile_idwt = jax.jit(self._untile_idwt_impl)
         self._prep_gray = jax.jit(self._prep_gray_impl)
         self._prep_rgb = jax.jit(self._prep_rgb_impl)
         self._finish_gray = jax.jit(self._finish_gray_impl)
@@ -80,25 +80,50 @@ class TPUCodec:
         y = (ri + 2 * gi + bi) >> 2
         return y, bi - gi, ri - gi
 
-    def _encode_plane_impl(self, plane, lut):
+    def _dwt_tile_impl(self, plane):
+        """Stage 1 of encode: DWT + codeblock tiling + max-|coefficient|.
+
+        The max feeds the host-chosen static bitplane count for stage 2
+        (the bitplane loop is unrolled at trace time; see
+        entropy/bpc_jax.py)."""
         cfg = self.cfg
         coeffs = dwt_forward(plane, cfg.wavelet_levels, cfg.is_lossy, cfg.qs)
         coeffs = coeffs.astype(jnp.int32)
         blocks = plane_to_codeblocks(coeffs)
-        return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw)
+        return blocks, jnp.max(jnp.abs(blocks))
 
-    def _decode_plane_impl(self, streams, sizes, lut):
+    @property
+    def _staged(self):
+        return bpc_jax.get_staged(self.params, self.cfg.wavelet_levels,
+                                  self.cfg.coding_passes, False)
+
+    def _encode_plane(self, plane, lut):
+        blocks, max_mag = self._dwt_tile(plane)
+        n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
+        if self.cfg.k_factor > 0:
+            return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
+                                         n_planes=n_planes)
+        return self._staged.encode(blocks, lut, self._meta, n_planes)
+
+    def _untile_idwt_impl(self, blocks):
         cfg = self.cfg
-        blocks = bpc_jax.decode_blocks(streams, sizes, lut, *self._meta,
-                                       **self._kw)
         mallat = codeblocks_to_plane(blocks, self.ah, self.aw)
         return dwt_reverse(mallat, cfg.wavelet_levels, cfg.is_lossy, cfg.qs)
+
+    def _decode_plane(self, streams, sizes, lut, n_planes):
+        if self.cfg.k_factor > 0:
+            blocks = bpc_jax.decode_blocks(streams, sizes, lut, *self._meta,
+                                           **self._kw, n_planes=n_planes)
+        else:
+            blocks = self._staged.decode(streams, sizes, lut, self._meta,
+                                         n_planes)
+        return self._untile_idwt(blocks)
 
     def _finish_gray_impl(self, plane):
         """Undo DC shift and clamp (removeOffsetAndApplyMaxMin,
         DecodingEngine.cu:706-729)."""
         if self.cfg.is_lossy:
-            vals = jnp.rint(plane + jnp.float32(self._offset) + jnp.float32(0.01))
+            vals = jnp.rint(plane + np.float32(self._offset) + np.float32(0.01))
             return jnp.clip(vals, 0, 255).astype(jnp.uint8)
         return jnp.clip(plane + self._offset, 0, 255).astype(jnp.uint8)
 
@@ -110,7 +135,7 @@ class TPUCodec:
             outs = []
             for row in range(3):
                 v = m[row, 0] * c0 + m[row, 1] * c1 + m[row, 2] * c2
-                outs.append(jnp.rint(v + jnp.float32(0.01)).astype(jnp.int32))
+                outs.append(jnp.rint(v + np.float32(0.01)).astype(jnp.int32))
             r, g, b = outs
         else:
             y, u, v = (c.astype(jnp.int32) for c in (c0, c1, c2))
@@ -150,9 +175,10 @@ class TPUCodec:
         for i, shorts in enumerate(component_streams):
             streams, sizes = unpack_streams(shorts, self.ncb)
             lut = self.luts[min(i, len(self.luts) - 1)]
+            n_planes = bpc_jax.planes_for_streams(streams[:, 0], sizes)
             planes.append(self._decode_plane(jnp.asarray(streams),
                                              jnp.asarray(sizes, jnp.int32),
-                                             lut))
+                                             lut, n_planes))
         if cfg.is_rgb:
             rgb = self._finish_rgb(*planes)
             return [np.asarray(p)[:cfg.height, :cfg.width] for p in rgb]

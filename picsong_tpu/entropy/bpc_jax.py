@@ -3,10 +3,12 @@
 TPU-first reformulation of the reference's warp-per-codeblock kernels
 (BPC/BPCEngine.cu:1929-2299). The GPU design binds one 32-lane warp to one
 codeblock and serializes a 64-row x 2-phase scan inside each warp; here the
-same scan becomes a `lax.fori_loop` whose body operates on (N, 32) vectors
-— N codeblocks wide across the VPU — so grid-level parallelism is carried
-by vector width instead of thread blocks. Every CUDA construct has an
-algebraic equivalent:
+same scan becomes a `lax.fori_loop` whose body operates on (32, N) vectors
+-- 32 warp lanes on the sublane axis, N codeblocks across the 128-wide lane
+axis -- so grid-level parallelism is carried by vector width instead of
+thread blocks, and every tile is fully dense (an (N, 32) layout would waste
+3/4 of each (8, 128) TPU tile; measured ~4x slower). Every CUDA construct
+has an algebraic equivalent:
 
   divergent branch            -> lane mask + jnp.where
   __shfl_up/down neighbor read-> even/odd column-grid slices
@@ -14,15 +16,20 @@ algebraic equivalent:
   per-warp shared counter     -> (N,) counter vector
   codeword store/load         -> batched scatter/gather on (N, 4096)
 
+Two hard-won TPU performance rules shape this file:
+  1. No array constants (iota/arange/full) inside loop bodies -- they are
+     rematerialized every iteration (~80us each, measured); all index
+     grids are computed once before the loops.
+  2. Minor dimensions are either N (codeblocks) or a multiple of 128.
+
 The coded streams are bit-identical to the NumPy oracle
 (reference/bpc.py), which is itself an exact model of the reference coder;
 tests/test_jax_bpc.py gates this.
 
-State layout: the 64x64 coefficient grid is held as two (N, 66, 33) arrays
-— even columns and odd columns, each with a one-cell zero border — so each
-scan step reads its 8-neighborhood and writes its 32 cells with static
-last-dimension slices and a single dynamic row index (the layout a Pallas
-kernel wants as well).
+State layout: the 64x64 coefficient grid is held as two (66, 33, N)
+arrays -- even columns and odd columns, each with a one-cell zero border --
+so each scan step reads its 8-neighborhood and writes its 32 cells with
+static middle-dimension slices and a single dynamic row index.
 
 Coefficient word layout and pass semantics are documented in
 reference/bpc.py; this file mirrors it construct-for-construct.
@@ -42,9 +49,13 @@ from ..core.lut import LUTParams, group_base
 _LANES = spec.LANES
 _ROWS = spec.CBLOCK_LENGTH
 _U = jnp.uint32
-_SIG_BIT = jnp.uint32(1 << 31)
-_CP_BIT = jnp.uint32(1 << 30)
-_REF_BIT = jnp.uint32(1 << 29)
+# NumPy scalars, NOT jnp scalars: a module-level jnp.uint32(...) is a
+# concrete device array, and capturing device arrays as constants poisons
+# XLA:TPU compilation (10-minute compiles, ~1000x slower loop bodies —
+# measured on v5e). NumPy scalars fold into the HLO like literals.
+_SIG_BIT = np.uint32(1 << 31)
+_CP_BIT = np.uint32(1 << 30)
+_REF_BIT = np.uint32(1 << 29)
 
 
 # --------------------------------------------------------------------------
@@ -83,17 +94,23 @@ def block_metadata(levels: np.ndarray, subbands: np.ndarray,
 
 
 # --------------------------------------------------------------------------
-# Column-grid packing: (N, 64, 64) <-> even/odd (N, 66, 33) with borders
+# Column-grid packing: (N, 64, 64) <-> even/odd (66, 33, N) with borders
 # --------------------------------------------------------------------------
 
 def _to_grids(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     n = words.shape[0]
-    te = jnp.zeros((n, _ROWS + 2, _LANES + 1), dtype=_U)
-    to = jnp.zeros((n, _ROWS + 2, _LANES + 1), dtype=_U)
-    pairs = words.astype(_U).reshape(n, _ROWS, _LANES, 2)
-    te = te.at[:, 1:-1, :_LANES].set(pairs[..., 0])
-    to = to.at[:, 1:-1, 1:].set(pairs[..., 1])
+    te = jnp.zeros((_ROWS + 2, _LANES + 1, n), dtype=_U)
+    to = jnp.zeros((_ROWS + 2, _LANES + 1, n), dtype=_U)
+    pairs = words.astype(_U).reshape(n, _ROWS, _LANES, 2).transpose(1, 2, 3, 0)
+    te = te.at[1:-1, :_LANES, :].set(pairs[:, :, 0, :])
+    to = to.at[1:-1, 1:, :].set(pairs[:, :, 1, :])
     return te, to
+
+
+def _from_grids(te: jnp.ndarray, to: jnp.ndarray) -> jnp.ndarray:
+    n = te.shape[-1]
+    pairs = jnp.stack([te[1:-1, :_LANES, :], to[1:-1, 1:, :]], axis=2)
+    return pairs.transpose(3, 0, 1, 2).reshape(n, _ROWS, _ROWS)
 
 
 def _or_reduce_rows(x: jnp.ndarray) -> jnp.ndarray:
@@ -106,42 +123,38 @@ def _or_reduce_rows(x: jnp.ndarray) -> jnp.ndarray:
             x = x.at[:, :rest.shape[1]].set(x[:, :rest.shape[1]] | rest)
     return x[:, 0]
 
-def _from_grids(te: jnp.ndarray, to: jnp.ndarray) -> jnp.ndarray:
-    n = te.shape[0]
-    pairs = jnp.stack([te[:, 1:-1, :_LANES], to[:, 1:-1, 1:]], axis=-1)
-    return pairs.reshape(n, _ROWS, _ROWS)
-
 
 def _neighbors(te3, to3, phase: int):
-    """8-neighborhood + current cells for one phase (static slices)."""
+    """8-neighborhood + current (32, N) cells for one phase (static slices)."""
     if phase == 0:
-        cur = te3[:, 1, :_LANES]
-        nb = dict(ul=to3[:, 0, :_LANES], up=te3[:, 0, :_LANES], ur=to3[:, 0, 1:],
-                  lf=to3[:, 1, :_LANES], rt=to3[:, 1, 1:],
-                  bl=to3[:, 2, :_LANES], bt=te3[:, 2, :_LANES], br=to3[:, 2, 1:])
+        cur = te3[1, :_LANES, :]
+        nb = dict(ul=to3[0, :_LANES, :], up=te3[0, :_LANES, :], ur=to3[0, 1:, :],
+                  lf=to3[1, :_LANES, :], rt=to3[1, 1:, :],
+                  bl=to3[2, :_LANES, :], bt=te3[2, :_LANES, :], br=to3[2, 1:, :])
     else:
-        cur = to3[:, 1, 1:]
-        nb = dict(ul=te3[:, 0, :_LANES], up=to3[:, 0, 1:], ur=te3[:, 0, 1:],
-                  lf=te3[:, 1, :_LANES], rt=te3[:, 1, 1:],
-                  bl=te3[:, 2, :_LANES], bt=to3[:, 2, 1:], br=te3[:, 2, 1:])
+        cur = to3[1, 1:, :]
+        nb = dict(ul=te3[0, :_LANES, :], up=to3[0, 1:, :], ur=te3[0, 1:, :],
+                  lf=te3[1, :_LANES, :], rt=te3[1, 1:, :],
+                  bl=te3[2, :_LANES, :], bt=to3[2, 1:, :], br=te3[2, 1:, :])
     return cur, nb
 
 
 def _write_cells(grid, vals, row, phase: int):
     col0 = 0 if phase == 0 else 1
-    return jax.lax.dynamic_update_slice(grid, vals[:, None, :], (0, row + 1, col0))
+    return jax.lax.dynamic_update_slice(grid, vals[None, :, :],
+                                        (row + 1, col0, 0))
 
 
 # --------------------------------------------------------------------------
 # Context formation (exact reference formulas; see reference/bpc.py)
 # --------------------------------------------------------------------------
 
-def _sig_ctx(nb) -> jnp.ndarray:
+def _sig_ctx(nb):
     return sum((v >> 31).astype(jnp.int32) for v in nb.values())
 
 
-def _sig_ctx_bulk(nb, plane) -> jnp.ndarray:
-    p = plane.astype(jnp.uint32) if hasattr(plane, "astype") else jnp.uint32(plane)
+def _sig_ctx_bulk(nb, plane):
+    p = plane.astype(jnp.uint32)
     return sum((((v >> 24) & 31) >= p).astype(jnp.int32) for v in nb.values())
 
 
@@ -175,23 +188,33 @@ def _sign_ctx_bulk(up, lf, rt, bt, plane):
     return _sign_ctx_table(c(lf) + c(rt), c(up) + c(bt))
 
 
-def _onehot_prob(table, idx, width):
-    """table (N, width) probabilities selected per lane by idx (N, 32)."""
-    oh = (idx[..., None] == jnp.arange(width, dtype=jnp.int32)).astype(jnp.int32)
-    return jnp.sum(oh * table[:, None, :], axis=-1)
+def _select_prob(table, idx):
+    """table (width, N) probabilities selected per lane by idx (32, N)."""
+    return jnp.take_along_axis(table, idx, axis=0)
 
 
 # --------------------------------------------------------------------------
-# The 32-lane arithmetic coder over (N, 32) state
+# The 32-lane arithmetic coder over (32, N) state
 # --------------------------------------------------------------------------
+
+def _row_scatter(out, slot, vals):
+    """out[n, slot[l, n]] = vals[l, n] with OOB slots dropped."""
+    return jax.vmap(lambda row, s, v: row.at[s].set(v, mode="drop"),
+                    in_axes=(0, 1, 1))(out, slot, vals)
+
+
+def _row_gather(out, slot):
+    """(32, N) gather: out[n, slot[l, n]]."""
+    return jax.vmap(lambda row, s: row[s], in_axes=(0, 1), out_axes=1)(out, slot)
+
 
 def _ac_encode(state, active, bits, probs, prec: int):
     low, size, resv, counter, out = state
     need = active & (size == 0)
-    rank = jnp.cumsum(need, axis=1) - need
-    nslot = jnp.minimum(rank + counter[:, None], spec.MAX_RESERVED_SLOT) + 1
+    rank = jnp.cumsum(need, axis=0) - need
+    nslot = jnp.minimum(rank + counter[None, :], spec.MAX_RESERVED_SLOT) + 1
     resv = jnp.where(need, nslot, resv)
-    counter = jnp.minimum(counter + need.sum(axis=1), spec.MAX_SLOT_COUNT)
+    counter = jnp.minimum(counter + need.sum(axis=0), spec.MAX_SLOT_COUNT)
     low = jnp.where(need, 0, low)
     size = jnp.where(need, spec.AC_INTERVAL_INIT, size)
 
@@ -202,28 +225,26 @@ def _ac_encode(state, active, bits, probs, prec: int):
     low = jnp.where(one, low + aux, low)
 
     flush = active & (size == 0)
-    bidx = jnp.arange(out.shape[0], dtype=jnp.int32)[:, None]
     slot = jnp.where(flush, resv, out.shape[1])  # OOB -> dropped
-    out = out.at[bidx, slot].set(low, mode="drop")
+    out = _row_scatter(out, slot, low)
     return low, size, resv, counter, out
 
 
 def _ac_decode(state, active, probs, prec: int):
     low, size, cw, counter, out = state
     need = active & (size == 0)
-    rank = jnp.cumsum(need, axis=1) - need
-    nslot = jnp.minimum(rank + counter[:, None], spec.MAX_RESERVED_SLOT) + 1
-    bidx = jnp.arange(out.shape[0], dtype=jnp.int32)[:, None]
-    fetched = out[bidx, nslot]
+    rank = jnp.cumsum(need, axis=0) - need
+    nslot = jnp.minimum(rank + counter[None, :], spec.MAX_RESERVED_SLOT) + 1
+    fetched = _row_gather(out, nslot)
     cw = jnp.where(need, fetched, cw)
-    counter = jnp.minimum(counter + need.sum(axis=1), spec.MAX_SLOT_COUNT)
+    counter = jnp.minimum(counter + need.sum(axis=0), spec.MAX_SLOT_COUNT)
     low = jnp.where(need, 0, low)
     size = jnp.where(need, spec.AC_INTERVAL_INIT, size)
 
     aux = ((size * probs) >> prec) + 1
     aux2 = low + aux
-    # codewords compare as unsigned (the decoder reads raw 32-bit words;
-    # unwritten slots hold -1 == 0xFFFFFFFF, BPCEngine.cu:404-442)
+    # codewords compare as unsigned (unwritten slots hold -1 == 0xFFFFFFFF,
+    # BPCEngine.cu:404-442)
     one = active & (cw.astype(_U) >= aux2.astype(_U))
     zero = active & ~one
     size = jnp.where(one, size - aux, jnp.where(zero, aux - 1, size))
@@ -237,37 +258,57 @@ def _plane_mask(plane):
 
     Closed form of the reference's mask recurrence (Decode,
     BPCEngine.cu:1791-1829)."""
-    return jnp.where(plane >= 1, jnp.uint32(3) << plane.astype(jnp.uint32),
-                     jnp.uint32(2))
+    return jnp.where(plane >= 1, np.uint32(3) << plane.astype(jnp.uint32),
+                     np.uint32(2))
+
+
+def _plane_mask_static(plane: int) -> np.uint32:
+    """_plane_mask for a trace-time plane index."""
+    return np.uint32(3 << plane if plane >= 1 else 2)
 
 
 # --------------------------------------------------------------------------
 # Coding passes: each is a fori_loop over 64 rows with both phases unrolled
 # --------------------------------------------------------------------------
 
+def _plane_consts(plane, extra_flag=0):
+    """(shift, pmask, flag) for a static int or traced scalar plane."""
+    if isinstance(plane, (int, np.integer)):
+        return (np.uint32(plane + 1), _plane_mask_static(plane),
+                np.uint32((1 << 31) | extra_flag | (plane << 24)))
+    pu = plane.astype(_U)
+    return (pu + 1, _plane_mask(plane),
+            np.uint32((1 << 31) | extra_flag) | (pu << 24))
+
+
+def _shift_left(x, plane):
+    if isinstance(plane, (int, np.integer)):
+        return x << np.uint32(plane)
+    return x << plane.astype(_U)
+
+
 def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
               three_cp: bool):
     te, to, ac = carry
-    shift = plane.astype(_U) + 1
-    pmask = _plane_mask(plane)
-    flag = _SIG_BIT | (plane.astype(_U) << 24)
+    shift, pmask, flag = _plane_consts(plane)
+    n = te.shape[-1]
 
     def row_body(r, st):
         te, to, ac = st
         for phase in (0, 1):
-            te3 = jax.lax.dynamic_slice(te, (0, r, 0), (te.shape[0], 3, _LANES + 1))
-            to3 = jax.lax.dynamic_slice(to, (0, r, 0), (to.shape[0], 3, _LANES + 1))
+            te3 = jax.lax.dynamic_slice(te, (r, 0, 0), (3, _LANES + 1, n))
+            to3 = jax.lax.dynamic_slice(to, (r, 0, 0), (3, _LANES + 1, n))
             cur, nb = _neighbors(te3, to3, phase)
             insig = (cur >> 31) == 0
             if three_cp:
                 has_nb = sum((v >> 31) for v in nb.values()) > 0
-                active = insig & has_nb & cb_active[:, None]
-                candidate = insig & ~has_nb & cb_active[:, None]
+                active = insig & has_nb & cb_active[None, :]
+                candidate = insig & ~has_nb & cb_active[None, :]
             else:
-                active = insig & cb_active[:, None]
+                active = insig & cb_active[None, :]
                 candidate = None
             ctx = _sig_ctx(nb)
-            probs = _onehot_prob(sig9, ctx, 9)
+            probs = _select_prob(sig9, ctx)
             if encode:
                 bits = ((cur >> shift) & 1).astype(jnp.int32)
                 ac = _ac_encode(ac, active, bits, probs, prec)
@@ -276,14 +317,15 @@ def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
                 ac, bits = _ac_decode(ac, active, probs, prec)
                 newly = active & (bits == 1)
             sctx = _sign_ctx(nb["up"], nb["lf"], nb["rt"], nb["bt"])
-            sprobs = _onehot_prob(sign4, sctx >> 1, 4)
+            sprobs = _select_prob(sign4, sctx >> 1)
             if encode:
                 ssym = jnp.where((cur & 1).astype(jnp.int32) == (sctx & 1), 0, 1)
                 ac = _ac_encode(ac, newly, ssym, sprobs, prec)
                 upd = jnp.where(newly, cur | flag, cur)
             else:
                 ac, ssym = _ac_decode(ac, newly, sprobs, prec)
-                sbit = jnp.where((ssym & 1) == (sctx & 1), jnp.uint32(0), jnp.uint32(1))
+                sbit = jnp.where((ssym & 1) == (sctx & 1), np.uint32(0),
+                                 np.uint32(1))
                 upd = jnp.where(newly, cur | pmask | flag | sbit, cur)
             if three_cp:
                 upd = jnp.where(candidate, upd | _CP_BIT, upd)
@@ -299,27 +341,30 @@ def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
 
 def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
     te, to, ac = carry
-    shift = plane.astype(_U) + 1
-    pmask = _plane_mask(plane)
-    probs = jnp.broadcast_to(ref1[:, None], (ref1.shape[0], _LANES))
+    shift, pmask, _ = _plane_consts(plane)
+    probs = jnp.broadcast_to(ref1[None, :], (_LANES, ref1.shape[0]))
+    n = te.shape[-1]
 
     def row_body(r, st):
         te, to, ac = st
         for phase in (0, 1):
+            # slice with the same (3, 33, N) window the other passes use:
+            # mixing slice shapes across chained loops makes XLA:TPU pick
+            # conflicting grid layouts and insert full-grid transposes
+            # between every pass (measured: 300x slowdown)
             grid = te if phase == 0 else to
-            col0 = 0 if phase == 0 else 1
-            cur = jax.lax.dynamic_slice(
-                grid, (0, r + 1, col0), (grid.shape[0], 1, _LANES))[:, 0, :]
+            g3 = jax.lax.dynamic_slice(grid, (r, 0, 0), (3, _LANES + 1, n))
+            cur = g3[1, :_LANES, :] if phase == 0 else g3[1, 1:, :]
             refine = ((cur >> 29) & 1) == 1
-            active = refine & cb_active[:, None]
-            eligible = ~refine & ((cur >> 31) == 1) & cb_active[:, None]
+            active = refine & cb_active[None, :]
+            eligible = ~refine & ((cur >> 31) == 1) & cb_active[None, :]
             if encode:
                 bits = ((cur >> shift) & 1).astype(jnp.int32)
                 ac = _ac_encode(ac, active, bits, probs, prec)
                 upd = cur
             else:
                 ac, sym = _ac_decode(ac, active, probs, prec)
-                patt = (((sym.astype(_U) << 1) + 1) << plane.astype(_U))
+                patt = _shift_left((sym.astype(_U) << 1) + 1, plane)
                 upd = jnp.where(active, (cur & ~pmask) | (pmask & patt), cur)
             upd = jnp.where(eligible, upd | _REF_BIT, upd)
             if phase == 0:
@@ -334,19 +379,18 @@ def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
 def _cp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool):
     """Cleanup pass (coding_passes == 3)."""
     te, to, ac = carry
-    shift = plane.astype(_U) + 1
-    pmask = _plane_mask(plane)
-    flag = _SIG_BIT | _REF_BIT | (plane.astype(_U) << 24)
+    shift, pmask, flag = _plane_consts(plane, extra_flag=1 << 29)
+    n = te.shape[-1]
 
     def row_body(r, st):
         te, to, ac = st
         for phase in (0, 1):
-            te3 = jax.lax.dynamic_slice(te, (0, r, 0), (te.shape[0], 3, _LANES + 1))
-            to3 = jax.lax.dynamic_slice(to, (0, r, 0), (to.shape[0], 3, _LANES + 1))
+            te3 = jax.lax.dynamic_slice(te, (r, 0, 0), (3, _LANES + 1, n))
+            to3 = jax.lax.dynamic_slice(to, (r, 0, 0), (3, _LANES + 1, n))
             cur, nb = _neighbors(te3, to3, phase)
-            active = (((cur >> 30) & 1) == 1) & cb_active[:, None]
+            active = (((cur >> 30) & 1) == 1) & cb_active[None, :]
             ctx = _sig_ctx(nb)
-            probs = _onehot_prob(sig9, ctx, 9)
+            probs = _select_prob(sig9, ctx)
             if encode:
                 bits = ((cur >> shift) & 1).astype(jnp.int32)
                 ac = _ac_encode(ac, active, bits, probs, prec)
@@ -355,14 +399,15 @@ def _cp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool):
             upd = jnp.where(active, cur & ~_CP_BIT, cur)
             newly = active & (bits == 1)
             sctx = _sign_ctx(nb["up"], nb["lf"], nb["rt"], nb["bt"])
-            sprobs = _onehot_prob(sign4, sctx >> 1, 4)
+            sprobs = _select_prob(sign4, sctx >> 1)
             if encode:
                 ssym = jnp.where((cur & 1).astype(jnp.int32) == (sctx & 1), 0, 1)
                 ac = _ac_encode(ac, newly, ssym, sprobs, prec)
                 upd = jnp.where(newly, upd | flag, upd)
             else:
                 ac, ssym = _ac_decode(ac, newly, sprobs, prec)
-                sbit = jnp.where((ssym & 1) == (sctx & 1), jnp.uint32(0), jnp.uint32(1))
+                sbit = jnp.where((ssym & 1) == (sctx & 1), np.uint32(0),
+                                 np.uint32(1))
                 upd = jnp.where(newly, upd | pmask | flag | sbit, upd)
             if phase == 0:
                 te = _write_cells(te, upd, r, 0)
@@ -373,57 +418,56 @@ def _cp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool):
     return jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
 
 
-def _bulk_pass(carry, entry, cb_active, bases, lut, prec, max_entry,
+def _bulk_pass(carry, entry, cb_active, bases, lut, prec, n_planes: int,
                encode: bool):
     """Fused multi-bitplane pass (complexity scalability, k > 0).
 
     entry: (N,) per-codeblock entry plane; cells scan row-major and an inner
     loop codes planes entry..0 per cell (encodeBulkMode,
-    BPCEngine.cu:1285-1662)."""
+    BPCEngine.cu:1285-1662). bases = (ref_b (N,), sig_grid0 (9, N),
+    sign_grid0 (4, N)) -- index grids precomputed outside all loops."""
     te, to, ac = carry
-    ref_b, sig_b, sign_b = bases
-    n = te.shape[0]
+    ref_b, sig_grid0, sign_grid0 = bases
+    n = te.shape[-1]
     entry_u = entry.astype(_U)
 
     def row_body(r, st):
         te, to, ac = st
         for phase in (0, 1):
-            te3 = jax.lax.dynamic_slice(te, (0, r, 0), (n, 3, _LANES + 1))
-            to3 = jax.lax.dynamic_slice(to, (0, r, 0), (n, 3, _LANES + 1))
+            te3 = jax.lax.dynamic_slice(te, (r, 0, 0), (3, _LANES + 1, n))
+            to3 = jax.lax.dynamic_slice(to, (r, 0, 0), (3, _LANES + 1, n))
             cur, nb = _neighbors(te3, to3, phase)
-            ctx_b = _sig_ctx_bulk(nb, entry_u[:, None])
+            ctx_b = _sig_ctx_bulk(nb, entry_u[None, :])
             ctx_n = _sig_ctx(nb)
-            ctx = jnp.where((entry != 0)[:, None], ctx_b, ctx_n)
+            ctx = jnp.where((entry != 0)[None, :], ctx_b, ctx_n)
 
             def plane_body(i, inner):
                 work, ac = inner
                 plane = entry - i                       # (N,)
                 act = cb_active & (plane >= 0)
                 pu = jnp.maximum(plane, 0)
-                shift = pu.astype(_U)[:, None] + 1
-                pmask = _plane_mask(pu)[:, None]
-                ref_p = lut[jnp.clip(ref_b + entry - i, 0, lut.shape[0] - 1)]
-                sig_row = (sig_b + (entry - i) * 9)
-                sig9 = lut[jnp.clip(sig_row[:, None] + jnp.arange(9), 0,
+                shift = pu.astype(_U)[None, :] + 1
+                pmask = _plane_mask(pu)[None, :]
+                ref_p = lut[jnp.clip(ref_b + plane, 0, lut.shape[0] - 1)]
+                sig9 = lut[jnp.clip(sig_grid0 + plane[None, :] * 9, 0,
                                     lut.shape[0] - 1)]
-                sign_row = (sign_b + (entry - i) * 4)
-                sign4 = lut[jnp.clip(sign_row[:, None] + jnp.arange(4), 0,
+                sign4 = lut[jnp.clip(sign_grid0 + plane[None, :] * 4, 0,
                                      lut.shape[0] - 1)]
 
                 sig_lane = (work >> 31) == 1
-                a_ref = sig_lane & act[:, None]
-                probs = jnp.broadcast_to(ref_p[:, None], (n, _LANES))
+                a_ref = sig_lane & act[None, :]
+                probs = jnp.broadcast_to(ref_p[None, :], (_LANES, n))
                 if encode:
                     bits = ((work >> shift) & 1).astype(jnp.int32)
                     ac = _ac_encode(ac, a_ref, bits, probs, prec)
                 else:
                     ac, sym = _ac_decode(ac, a_ref, probs, prec)
                     patt = (((sym.astype(_U) << 1) + 1)
-                            << pu.astype(_U)[:, None])
+                            << pu.astype(_U)[None, :])
                     work = jnp.where(a_ref, (work & ~pmask) | (pmask & patt),
                                      work)
-                insig = ((work >> 31) == 0) & act[:, None]
-                sprob = _onehot_prob(sig9, ctx, 9)
+                insig = ((work >> 31) == 0) & act[None, :]
+                sprob = _select_prob(sig9, ctx)
                 if encode:
                     bits = ((work >> shift) & 1).astype(jnp.int32)
                     ac = _ac_encode(ac, insig, bits, sprob, prec)
@@ -431,10 +475,10 @@ def _bulk_pass(carry, entry, cb_active, bases, lut, prec, max_entry,
                 else:
                     ac, bits = _ac_decode(ac, insig, sprob, prec)
                     newly = insig & (bits == 1)
-                flag = _SIG_BIT | (pu.astype(_U)[:, None] << 24)
+                flag = _SIG_BIT | (pu.astype(_U)[None, :] << 24)
                 sctx = _sign_ctx_bulk(nb["up"], nb["lf"], nb["rt"], nb["bt"],
-                                      pu[:, None])
-                sgp = _onehot_prob(sign4, sctx >> 1, 4)
+                                      pu[None, :])
+                sgp = _select_prob(sign4, sctx >> 1)
                 if encode:
                     ssym = jnp.where((work & 1).astype(jnp.int32) == (sctx & 1),
                                      0, 1)
@@ -442,12 +486,12 @@ def _bulk_pass(carry, entry, cb_active, bases, lut, prec, max_entry,
                     work = jnp.where(newly, work | flag, work)
                 else:
                     ac, ssym = _ac_decode(ac, newly, sgp, prec)
-                    sbit = jnp.where((ssym & 1) == (sctx & 1), jnp.uint32(0),
-                                     jnp.uint32(1))
+                    sbit = jnp.where((ssym & 1) == (sctx & 1), np.uint32(0),
+                                     np.uint32(1))
                     work = jnp.where(newly, work | pmask | flag | sbit, work)
                 return work, ac
 
-            cur, ac = jax.lax.fori_loop(0, max_entry + 1, plane_body, (cur, ac))
+            cur, ac = jax.lax.fori_loop(0, n_planes, plane_body, (cur, ac))
             if phase == 0:
                 te = _write_cells(te, cur, r, 0)
             else:
@@ -481,14 +525,20 @@ def _raw_unlayout(cs: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("params", "wavelet_levels", "coding_passes",
-                                   "has_k"))
+                                   "has_k", "n_planes"))
 def encode_blocks(blocks: jnp.ndarray, lut: jnp.ndarray,
                   ref_base: jnp.ndarray, sig_base: jnp.ndarray,
                   sign_base: jnp.ndarray, cp_sig_base: jnp.ndarray,
                   cp_sign_base: jnp.ndarray, k_over_l2: jnp.ndarray,
                   *, params: LUTParams, wavelet_levels: int,
-                  coding_passes: int, has_k: bool):
-    """Encode (N, 64, 64) int32 codeblocks -> (streams (N, 4096), sizes)."""
+                  coding_passes: int, has_k: bool, n_planes: int):
+    """Encode (N, 64, 64) int32 codeblocks -> (streams (N, 4096), sizes).
+
+    n_planes is a static upper bound on max(MSB)+1 over the batch (use
+    planes_for_magnitude on the host). The bitplane loop is unrolled at
+    trace time: a traced-bound outer loop around the row-scan fori makes
+    the TPU compiler emit ~300x slower code (measured; nested dynamic
+    loops defeat in-place buffer aliasing)."""
     n = blocks.shape[0]
     prec = params.mult_precision
     stride = params.stride_per_group(wavelet_levels)
@@ -519,23 +569,27 @@ def encode_blocks(blocks: jnp.ndarray, lut: jnp.ndarray,
     sig_b = sig_base + s_off
     sign_b = sign_base + s_off
 
+    # index grids computed once, outside every loop body (constants inside
+    # loop bodies are rematerialized per iteration on TPU: ~80us each)
+    i9 = jnp.arange(9, dtype=jnp.int32)[:, None]
+    i4 = jnp.arange(4, dtype=jnp.int32)[:, None]
+    sig_grid0 = sig_b[None, :] + i9
+    sign_grid0 = sign_b[None, :] + i4
+    cp_sig_grid0 = cp_sig_base[None, :] + i9
+    cp_sign_grid0 = cp_sign_base[None, :] + i4
+
     te, to = _to_grids(words)
     out = jnp.full((n, spec.CBLOCK_SIZE), -1, jnp.int32)
-    ac = (jnp.zeros((n, _LANES), jnp.int32), jnp.zeros((n, _LANES), jnp.int32),
-          jnp.zeros((n, _LANES), jnp.int32), jnp.zeros(n, jnp.int32), out)
+    ac = (jnp.zeros((_LANES, n), jnp.int32), jnp.zeros((_LANES, n), jnp.int32),
+          jnp.zeros((_LANES, n), jnp.int32), jnp.zeros(n, jnp.int32), out)
 
-    max_msb = jnp.maximum(jnp.max(msb), 0)
+    def prefetch(grid0, nctx, plane):
+        return lut[jnp.clip(grid0 + plane * nctx, 0, lut.shape[0] - 1)]
 
-    def prefetch(base, nctx, plane):
-        idx = base[:, None] + plane * nctx + jnp.arange(nctx)
-        return lut[jnp.clip(idx, 0, lut.shape[0] - 1)]
-
-    def plane_step(i, st):
-        te, to, ac = st
-        plane = max_msb - i
-        in_range = (plane <= msb) & (plane >= 0)
-        sig9 = prefetch(sig_b, 9, plane)
-        sign4 = prefetch(sign_b, 4, plane)
+    for plane in range(n_planes - 1, -1, -1):
+        in_range = plane <= msb
+        sig9 = prefetch(sig_grid0, 9, plane)
+        sign4 = prefetch(sign_grid0, 4, plane)
         ref1 = lut[jnp.clip(ref_b + plane, 0, lut.shape[0] - 1)]
         if coding_passes == 2:
             act = in_range & (plane >= consec)
@@ -543,8 +597,8 @@ def encode_blocks(blocks: jnp.ndarray, lut: jnp.ndarray,
                                    True, False)
             te, to, ac = _mrp_pass((te, to, ac), plane, act, ref1, prec, True)
         else:
-            cpsig9 = prefetch(cp_sig_base, 9, plane)
-            cpsign4 = prefetch(cp_sign_base, 4, plane)
+            cpsig9 = prefetch(cp_sig_grid0, 9, plane)
+            cpsign4 = prefetch(cp_sign_grid0, 4, plane)
             spp_act = in_range & (plane < msb)
             te, to, ac = _spp_pass((te, to, ac), plane, spp_act, sig9, sign4,
                                    prec, True, True)
@@ -552,23 +606,18 @@ def encode_blocks(blocks: jnp.ndarray, lut: jnp.ndarray,
                                    True)
             te, to, ac = _cp_pass((te, to, ac), plane, in_range, cpsig9,
                                   cpsign4, prec, True)
-        return te, to, ac
-
-    te, to, ac = jax.lax.fori_loop(0, max_msb + 1, plane_step, (te, to, ac))
 
     if has_k and coding_passes == 2:
         entry = jnp.minimum(consec, jnp.maximum(msb, 0)) - 1
         entry = jnp.where(consec > msb, msb, entry)
         bulk_act = (entry >= 0) & ~empty
-        max_entry = jnp.maximum(jnp.max(entry), 0)
         te, to, ac = _bulk_pass((te, to, ac), jnp.maximum(entry, 0), bulk_act,
-                                (ref_b, sig_b, sign_b), lut, prec, max_entry,
-                                True)
+                                (ref_b, sig_grid0, sign_grid0), lut, prec,
+                                n_planes, True)
 
     low, size, resv, counter, out = ac
     # final flush: every lane stores its last codeword (BPCEngine.cu:1719)
-    bidx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    out = out.at[bidx, resv].set(low, mode="drop")
+    out = _row_scatter(out, resv, low)
 
     out = out.at[:, 0].set(jnp.where(empty, 32, msb))
     sizes = jnp.where(empty, 1, counter + 1)
@@ -580,14 +629,16 @@ def encode_blocks(blocks: jnp.ndarray, lut: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("params", "wavelet_levels", "coding_passes",
-                                   "has_k"))
+                                   "has_k", "n_planes"))
 def decode_blocks(streams: jnp.ndarray, sizes: jnp.ndarray, lut: jnp.ndarray,
                   ref_base: jnp.ndarray, sig_base: jnp.ndarray,
                   sign_base: jnp.ndarray, cp_sig_base: jnp.ndarray,
                   cp_sign_base: jnp.ndarray, k_over_l2: jnp.ndarray,
                   *, params: LUTParams, wavelet_levels: int,
-                  coding_passes: int, has_k: bool) -> jnp.ndarray:
-    """Decode (N, 4096) streams -> (N, 64, 64) int32 coefficients."""
+                  coding_passes: int, has_k: bool, n_planes: int) -> jnp.ndarray:
+    """Decode (N, 4096) streams -> (N, 64, 64) int32 coefficients.
+
+    n_planes: static bound on max(MSB)+1 (use planes_for_streams)."""
     n = streams.shape[0]
     prec = params.mult_precision
     stride = params.stride_per_group(wavelet_levels)
@@ -610,26 +661,28 @@ def decode_blocks(streams: jnp.ndarray, sizes: jnp.ndarray, lut: jnp.ndarray,
     sig_b = sig_base + s_off
     sign_b = sign_base + s_off
 
+    i9 = jnp.arange(9, dtype=jnp.int32)[:, None]
+    i4 = jnp.arange(4, dtype=jnp.int32)[:, None]
+    sig_grid0 = sig_b[None, :] + i9
+    sign_grid0 = sign_b[None, :] + i4
+    cp_sig_grid0 = cp_sig_base[None, :] + i9
+    cp_sign_grid0 = cp_sign_base[None, :] + i4
+
     init = jnp.zeros((n, _ROWS, _ROWS), _U)
     if coding_passes == 3:
         init = init | _CP_BIT   # initializeCoefficients3CP (BPCEngine.cu:124)
     te, to = _to_grids(init)
 
-    ac = (jnp.zeros((n, _LANES), jnp.int32), jnp.zeros((n, _LANES), jnp.int32),
-          jnp.zeros((n, _LANES), jnp.int32), jnp.zeros(n, jnp.int32), streams)
+    ac = (jnp.zeros((_LANES, n), jnp.int32), jnp.zeros((_LANES, n), jnp.int32),
+          jnp.zeros((_LANES, n), jnp.int32), jnp.zeros(n, jnp.int32), streams)
 
-    max_msb = jnp.maximum(jnp.max(msb), 0)
+    def prefetch(grid0, nctx, plane):
+        return lut[jnp.clip(grid0 + plane * nctx, 0, lut.shape[0] - 1)]
 
-    def prefetch(base, nctx, plane):
-        idx = base[:, None] + plane * nctx + jnp.arange(nctx)
-        return lut[jnp.clip(idx, 0, lut.shape[0] - 1)]
-
-    def plane_step(i, st):
-        te, to, ac = st
-        plane = max_msb - i
-        in_range = (plane <= msb) & (plane >= 0)
-        sig9 = prefetch(sig_b, 9, plane)
-        sign4 = prefetch(sign_b, 4, plane)
+    for plane in range(n_planes - 1, -1, -1):
+        in_range = plane <= msb
+        sig9 = prefetch(sig_grid0, 9, plane)
+        sign4 = prefetch(sign_grid0, 4, plane)
         ref1 = lut[jnp.clip(ref_b + plane, 0, lut.shape[0] - 1)]
         if coding_passes == 2:
             act = in_range & (plane >= consec)
@@ -637,8 +690,8 @@ def decode_blocks(streams: jnp.ndarray, sizes: jnp.ndarray, lut: jnp.ndarray,
                                    False, False)
             te, to, ac = _mrp_pass((te, to, ac), plane, act, ref1, prec, False)
         else:
-            cpsig9 = prefetch(cp_sig_base, 9, plane)
-            cpsign4 = prefetch(cp_sign_base, 4, plane)
+            cpsig9 = prefetch(cp_sig_grid0, 9, plane)
+            cpsign4 = prefetch(cp_sign_grid0, 4, plane)
             spp_act = in_range & (plane < msb)
             te, to, ac = _spp_pass((te, to, ac), plane, spp_act, sig9, sign4,
                                    prec, False, True)
@@ -646,18 +699,14 @@ def decode_blocks(streams: jnp.ndarray, sizes: jnp.ndarray, lut: jnp.ndarray,
                                    False)
             te, to, ac = _cp_pass((te, to, ac), plane, in_range, cpsig9,
                                   cpsign4, prec, False)
-        return te, to, ac
-
-    te, to, ac = jax.lax.fori_loop(0, max_msb + 1, plane_step, (te, to, ac))
 
     if has_k and coding_passes == 2:
         entry = jnp.minimum(consec, jnp.maximum(msb, 0)) - 1
         entry = jnp.where(consec > msb, msb, entry)
         bulk_act = entry >= 0
-        max_entry = jnp.maximum(jnp.max(entry), 0)
         te, to, ac = _bulk_pass((te, to, ac), jnp.maximum(entry, 0), bulk_act,
-                                (ref_b, sig_b, sign_b), lut, prec, max_entry,
-                                False)
+                                (ref_b, sig_grid0, sign_grid0), lut, prec,
+                                n_planes, False)
 
     words = _from_grids(te, to)
     words = jnp.where(is_raw[:, None, None], _raw_unlayout(streams), words)
@@ -670,6 +719,26 @@ def decode_blocks(streams: jnp.ndarray, sizes: jnp.ndarray, lut: jnp.ndarray,
 # Convenience wrappers: metadata preparation + jitted call
 # --------------------------------------------------------------------------
 
+def planes_for_magnitude(max_magnitude: int, quantum: int = 4) -> int:
+    """Static bitplane count covering a maximum |coefficient|.
+
+    Rounded up to a multiple of `quantum` to bound the number of distinct
+    compiled executables (extra planes are fully masked and cheap)."""
+    msb = int(max_magnitude).bit_length() - 1 if max_magnitude > 0 else -1
+    need = msb + 1
+    return max(-(-need // quantum) * quantum, quantum) if need > 0 else quantum
+
+
+def planes_for_streams(msb_words, sizes, quantum: int = 4) -> int:
+    """Static bitplane count for decoding a batch of codeblock streams."""
+    msb_words = np.asarray(msb_words)
+    sizes = np.asarray(sizes)
+    real = (msb_words != 32) & (sizes != spec.CBLOCK_SIZE)
+    msb = int(msb_words[real].max()) if real.any() else -1
+    need = msb + 1
+    return max(-(-need // quantum) * quantum, quantum) if need > 0 else quantum
+
+
 def _meta_args(levels, subbands, params, wavelet_levels, coding_passes,
                k_factor):
     meta = block_metadata(np.asarray(levels), np.asarray(subbands), params,
@@ -680,15 +749,37 @@ def _meta_args(levels, subbands, params, wavelet_levels, coding_passes,
             meta["k_over_l2"])
 
 
+_staged_cache: dict = {}
+
+
+def get_staged(params: LUTParams, wavelet_levels: int, coding_passes: int,
+               has_k: bool) -> StagedBPC:
+    key = (params, wavelet_levels, coding_passes, has_k)
+    if key not in _staged_cache:
+        _staged_cache[key] = StagedBPC(params, wavelet_levels, coding_passes,
+                                       has_k)
+    return _staged_cache[key]
+
+
 def encode(blocks, levels, subbands, lut, params: LUTParams,
            wavelet_levels: int, coding_passes: int = 2, k_factor: float = 0.0):
-    """NumPy-friendly entry: encode codeblocks on the default device."""
+    """NumPy-friendly entry: encode codeblocks on the default device.
+
+    Uses the staged (one-loop-per-program) path; k > 0 falls back to the
+    monolithic program (the bulk pass is not staged yet)."""
     args = _meta_args(levels, subbands, params, wavelet_levels, coding_passes,
                       k_factor)
-    out, sizes = encode_blocks(
-        jnp.asarray(blocks, jnp.int32), jnp.asarray(lut, jnp.int32), *args,
-        params=params, wavelet_levels=wavelet_levels,
-        coding_passes=coding_passes, has_k=k_factor > 0)
+    n_planes = planes_for_magnitude(int(np.max(np.abs(blocks))))
+    if k_factor > 0:
+        out, sizes = encode_blocks(
+            jnp.asarray(blocks, jnp.int32), jnp.asarray(lut, jnp.int32),
+            *args, params=params, wavelet_levels=wavelet_levels,
+            coding_passes=coding_passes, has_k=True, n_planes=n_planes)
+        return np.asarray(out), np.asarray(sizes)
+    staged = get_staged(params, wavelet_levels, coding_passes, False)
+    meta = tuple(jnp.asarray(a) for a in args)
+    out, sizes = staged.encode(jnp.asarray(blocks, jnp.int32),
+                               jnp.asarray(lut, jnp.int32), meta, n_planes)
     return np.asarray(out), np.asarray(sizes)
 
 
@@ -697,9 +788,233 @@ def decode(streams, sizes, levels, subbands, lut, params: LUTParams,
     """NumPy-friendly entry: decode codeblock streams."""
     args = _meta_args(levels, subbands, params, wavelet_levels, coding_passes,
                       k_factor)
-    out = decode_blocks(
-        jnp.asarray(streams, jnp.int32), jnp.asarray(sizes, jnp.int32),
-        jnp.asarray(lut, jnp.int32), *args,
-        params=params, wavelet_levels=wavelet_levels,
-        coding_passes=coding_passes, has_k=k_factor > 0)
+    n_planes = planes_for_streams(np.asarray(streams)[:, 0], sizes)
+    if k_factor > 0:
+        out = decode_blocks(
+            jnp.asarray(streams, jnp.int32), jnp.asarray(sizes, jnp.int32),
+            jnp.asarray(lut, jnp.int32), *args,
+            params=params, wavelet_levels=wavelet_levels,
+            coding_passes=coding_passes, has_k=True, n_planes=n_planes)
+        return np.asarray(out)
+    staged = get_staged(params, wavelet_levels, coding_passes, False)
+    meta = tuple(jnp.asarray(a) for a in args)
+    out = staged.decode(jnp.asarray(streams, jnp.int32),
+                        jnp.asarray(sizes, jnp.int32),
+                        jnp.asarray(lut, jnp.int32), meta, n_planes)
     return np.asarray(out)
+
+
+# --------------------------------------------------------------------------
+# Staged execution: one single-loop program per coding pass
+# --------------------------------------------------------------------------
+#
+# XLA:TPU (v5e, remote compile) compiles a program containing ONE
+# fori_loop over the big carries into proper in-place code, but programs
+# chaining two or more such loops lose buffer aliasing and run ~1000x
+# slower (measured; see PERF_NOTES.md). The staged path therefore runs the
+# bitplane loop on the HOST: each coding pass is its own jitted program
+# with the plane index as a traced scalar argument (one compilation per
+# pass type, reused for every plane and frame) and the coder state donated
+# from call to call.
+
+class StagedBPC:
+    """Host-sequenced per-pass BPC engine for one configuration."""
+
+    def __init__(self, params: LUTParams, wavelet_levels: int,
+                 coding_passes: int = 2, has_k: bool = False):
+        self.params = params
+        self.wavelet_levels = wavelet_levels
+        self.coding_passes = coding_passes
+        self.has_k = has_k
+        prec = params.mult_precision
+        donate = tuple(range(7))
+
+        def spp(encode, three_cp):
+            def impl(te, to, low, size, resv, counter, out, msb, consec,
+                     sig_grid0, sign_grid0, lut, plane):
+                in_range = plane <= msb
+                if three_cp:
+                    act = in_range & (plane < msb)
+                else:
+                    act = in_range & (plane >= consec)
+                sig9 = lut[jnp.clip(sig_grid0 + plane * 9, 0, lut.shape[0] - 1)]
+                sign4 = lut[jnp.clip(sign_grid0 + plane * 4, 0, lut.shape[0] - 1)]
+                ac = (low, size, resv, counter, out)
+                te2, to2, ac = _spp_pass((te, to, ac), plane, act, sig9, sign4,
+                                         prec, encode, three_cp)
+                return (te2, to2) + ac
+            return jax.jit(impl, donate_argnums=donate)
+
+        def mrp(encode, three_cp):
+            def impl(te, to, low, size, resv, counter, out, msb, consec,
+                     ref_b, lut, plane):
+                in_range = plane <= msb
+                if three_cp:
+                    act = in_range & (plane < msb)
+                else:
+                    act = in_range & (plane >= consec)
+                ref1 = lut[jnp.clip(ref_b + plane, 0, lut.shape[0] - 1)]
+                ac = (low, size, resv, counter, out)
+                te2, to2, ac = _mrp_pass((te, to, ac), plane, act, ref1, prec,
+                                         encode)
+                return (te2, to2) + ac
+            return jax.jit(impl, donate_argnums=donate)
+
+        def cp3(encode):
+            def impl(te, to, low, size, resv, counter, out, msb, consec,
+                     cp_sig_grid0, cp_sign_grid0, lut, plane):
+                act = plane <= msb
+                sig9 = lut[jnp.clip(cp_sig_grid0 + plane * 9, 0,
+                                    lut.shape[0] - 1)]
+                sign4 = lut[jnp.clip(cp_sign_grid0 + plane * 4, 0,
+                                     lut.shape[0] - 1)]
+                ac = (low, size, resv, counter, out)
+                te2, to2, ac = _cp_pass((te, to, ac), plane, act, sig9, sign4,
+                                        prec, encode)
+                return (te2, to2) + ac
+            return jax.jit(impl, donate_argnums=donate)
+
+        three = coding_passes == 3
+        self._spp_enc = spp(True, three)
+        self._spp_dec = spp(False, three)
+        self._mrp_enc = mrp(True, three)
+        self._mrp_dec = mrp(False, three)
+        if three:
+            self._cp_enc = cp3(True)
+            self._cp_dec = cp3(False)
+
+        self._init_enc = jax.jit(self._init_enc_impl)
+        self._finish_enc = jax.jit(self._finish_enc_impl,
+                                   donate_argnums=tuple(range(7)))
+        self._init_dec = jax.jit(self._init_dec_impl)
+        self._finish_dec = jax.jit(self._finish_dec_impl,
+                                   donate_argnums=(0, 1))
+
+    # -- loopless endpoint programs ---------------------------------------
+
+    def _init_enc_impl(self, blocks, ref_base, sig_base, sign_base,
+                       cp_sig_base, cp_sign_base, k_over_l2):
+        n = blocks.shape[0]
+        stride = self.params.stride_per_group(self.wavelet_levels)
+        mag = jnp.abs(blocks).astype(_U)
+        sign = (blocks < 0).astype(_U)
+        words = (mag << 1) | sign
+        if self.coding_passes == 3:
+            words = words | _CP_BIT
+        msb_or = _or_reduce_rows((words >> 1).reshape(n, -1))
+        if self.coding_passes == 3:
+            msb_or = msb_or & ~_REF_BIT
+        msb = 31 - jax.lax.clz(msb_or).astype(jnp.int32)
+        empty = msb_or == 0
+        if self.has_k and self.coding_passes == 2:
+            consec = jnp.maximum(
+                jnp.floor(msb.astype(jnp.float32) * k_over_l2), 0
+            ).astype(jnp.int32)
+            s_off = jnp.minimum(consec, jnp.maximum(msb, 0)) * stride
+        else:
+            consec = jnp.zeros(n, jnp.int32)
+            s_off = jnp.zeros(n, jnp.int32)
+        i9 = jnp.arange(9, dtype=jnp.int32)[:, None]
+        i4 = jnp.arange(4, dtype=jnp.int32)[:, None]
+        grids = dict(
+            ref_b=ref_base + s_off,
+            sig_grid0=(sig_base + s_off)[None, :] + i9,
+            sign_grid0=(sign_base + s_off)[None, :] + i4,
+            cp_sig_grid0=cp_sig_base[None, :] + i9,
+            cp_sign_grid0=cp_sign_base[None, :] + i4,
+        )
+        te, to = _to_grids(words)
+        out = jnp.full((n, spec.CBLOCK_SIZE), -1, jnp.int32)
+        z = jnp.zeros((_LANES, n), jnp.int32)
+        state = (te, to, z, z, z, jnp.zeros(n, jnp.int32), out)
+        return state, msb, consec, empty, grids
+
+    def _finish_enc_impl(self, te, to, low, size, resv, counter, out,
+                         msb, empty):
+        out = _row_scatter(out, resv, low)
+        out = out.at[:, 0].set(jnp.where(empty, 32, msb))
+        sizes = jnp.where(empty, 1, counter + 1)
+        raw = _raw_layout(_from_grids(te, to))
+        expand = (sizes == spec.CBLOCK_SIZE)[:, None]
+        out = jnp.where(expand, raw, out)
+        return out, sizes
+
+    def _init_dec_impl(self, streams, sizes, ref_base, sig_base, sign_base,
+                       cp_sig_base, cp_sign_base, k_over_l2):
+        n = streams.shape[0]
+        stride = self.params.stride_per_group(self.wavelet_levels)
+        msb_word = streams[:, 0]
+        is_raw = sizes == spec.CBLOCK_SIZE
+        skip = (msb_word == 32) | is_raw
+        msb = jnp.where(skip, -1, msb_word)
+        if self.has_k and self.coding_passes == 2:
+            consec = jnp.maximum(
+                jnp.floor(msb.astype(jnp.float32) * k_over_l2), 0
+            ).astype(jnp.int32)
+            s_off = jnp.minimum(consec, jnp.maximum(msb, 0)) * stride
+        else:
+            consec = jnp.zeros(n, jnp.int32)
+            s_off = jnp.zeros(n, jnp.int32)
+        i9 = jnp.arange(9, dtype=jnp.int32)[:, None]
+        i4 = jnp.arange(4, dtype=jnp.int32)[:, None]
+        grids = dict(
+            ref_b=ref_base + s_off,
+            sig_grid0=(sig_base + s_off)[None, :] + i9,
+            sign_grid0=(sign_base + s_off)[None, :] + i4,
+            cp_sig_grid0=cp_sig_base[None, :] + i9,
+            cp_sign_grid0=cp_sign_base[None, :] + i4,
+        )
+        init = jnp.zeros((n, _ROWS, _ROWS), _U)
+        if self.coding_passes == 3:
+            init = init | _CP_BIT
+        te, to = _to_grids(init)
+        z = jnp.zeros((_LANES, n), jnp.int32)
+        state = (te, to, z, z, z, jnp.zeros(n, jnp.int32), streams)
+        return state, msb, consec, is_raw, grids
+
+    def _finish_dec_impl(self, te, to, streams, is_raw):
+        words = _from_grids(te, to)
+        words = jnp.where(is_raw[:, None, None], _raw_unlayout(streams), words)
+        out = ((words & spec.MAGNITUDE_MASK) >> 1).astype(jnp.int32)
+        return jnp.where((words & 1) == 1, -out, out)
+
+    # -- host-sequenced drivers -------------------------------------------
+
+    def encode(self, blocks, lut, meta, n_planes: int):
+        """blocks (N, 64, 64) int32 (device or host) -> (streams, sizes)."""
+        state, msb, consec, empty, g = self._init_enc(blocks, *meta)
+        for p in range(n_planes - 1, -1, -1):
+            if self.coding_passes == 3:
+                state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
+                                      g["sign_grid0"], lut, p)
+                state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
+                state = self._cp_enc(*state, msb, consec, g["cp_sig_grid0"],
+                                     g["cp_sign_grid0"], lut, p)
+            else:
+                state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
+                                      g["sign_grid0"], lut, p)
+                state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
+        if self.has_k and self.coding_passes == 2:
+            raise NotImplementedError(
+                "staged path does not cover k > 0; use encode_blocks")
+        return self._finish_enc(*state, msb, empty)
+
+    def decode(self, streams, sizes, lut, meta, n_planes: int):
+        state, msb, consec, is_raw, g = self._init_dec(streams, sizes, *meta)
+        for p in range(n_planes - 1, -1, -1):
+            if self.coding_passes == 3:
+                state = self._spp_dec(*state, msb, consec, g["sig_grid0"],
+                                      g["sign_grid0"], lut, p)
+                state = self._mrp_dec(*state, msb, consec, g["ref_b"], lut, p)
+                state = self._cp_dec(*state, msb, consec, g["cp_sig_grid0"],
+                                     g["cp_sign_grid0"], lut, p)
+            else:
+                state = self._spp_dec(*state, msb, consec, g["sig_grid0"],
+                                      g["sign_grid0"], lut, p)
+                state = self._mrp_dec(*state, msb, consec, g["ref_b"], lut, p)
+        if self.has_k and self.coding_passes == 2:
+            raise NotImplementedError(
+                "staged path does not cover k > 0; use decode_blocks")
+        te, to = state[0], state[1]
+        return self._finish_dec(te, to, jnp.asarray(streams, jnp.int32),
+                                is_raw)

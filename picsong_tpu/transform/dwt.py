@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import spec
 
@@ -92,7 +93,7 @@ def _inv_level(ll, hl, lh, hh, lossy: bool):
     return inv(lo_v, hi_v)
 
 
-@partial(jax.jit, static_argnames=("levels", "lossy"))
+@partial(jax.jit, static_argnames=("levels", "lossy", "qs"))
 def dwt_forward(plane: jnp.ndarray, levels: int, lossy: bool,
                 qs: float = 1.0) -> jnp.ndarray:
     """Forward multi-level DWT into the Mallat mosaic.
@@ -101,7 +102,7 @@ def dwt_forward(plane: jnp.ndarray, levels: int, lossy: bool,
     quantization gain * qs folded into the write (writeSubbands,
     DWTGenerator.cu:403-433); truncate to int32 before entropy coding.
     """
-    qs32 = jnp.float32(qs)
+    qs32 = np.float32(qs)
     cur = plane
     quads = []
     for level in range(levels):
@@ -122,7 +123,7 @@ def dwt_forward(plane: jnp.ndarray, levels: int, lossy: bool,
     return out
 
 
-@partial(jax.jit, static_argnames=("levels", "lossy"))
+@partial(jax.jit, static_argnames=("levels", "lossy", "qs"))
 def dwt_reverse(mallat: jnp.ndarray, levels: int, lossy: bool,
                 qs: float = 1.0) -> jnp.ndarray:
     """Inverse multi-level DWT from an int32 Mallat mosaic.
@@ -132,13 +133,13 @@ def dwt_reverse(mallat: jnp.ndarray, levels: int, lossy: bool,
     DWTGenerator.cu:513-542); output is float32. Lossless output is int32.
     """
     h, w = mallat.shape
-    qs32 = jnp.float32(qs)
+    qs32 = np.float32(qs)
 
     def dq(q, gain):
         q = q.astype(jnp.int32)
         mag = jnp.abs(q).astype(jnp.float32) + spec.RECONSTRUCTION_FACTOR
         val = jnp.where(q < 0, -mag, mag) / gain / qs32
-        return jnp.where(q == 0, jnp.float32(0), val)
+        return jnp.where(q == 0, np.float32(0), val)
 
     ll = None
     for level in range(levels - 1, -1, -1):
