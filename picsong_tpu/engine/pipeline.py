@@ -20,7 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..assembly.pack import pack_streams, unpack_streams
+from .. import native
+from ..assembly.pack import pack_streams as _py_pack
+from ..assembly.pack import unpack_streams as _py_unpack
+
+# host relocation: native C++ when the toolchain is present, NumPy otherwise
+pack_streams = native.pack_streams if native.available() else _py_pack
+unpack_streams = native.unpack_streams if native.available() else _py_unpack
 from ..core import spec
 from ..core.geometry import (codeblock_bands, codeblocks_to_plane,
                              plane_to_codeblocks)
@@ -28,6 +34,7 @@ from ..core.header import CodecConfig, pack_header
 from ..core.image_io import mirror_pad
 from ..core.lut import LUTParams
 from ..entropy import bpc_jax
+from ..obs.trace import stage
 from ..transform.dwt import dwt_forward, dwt_reverse
 
 
@@ -163,9 +170,11 @@ class TPUCodec:
         out = []
         for i, comp in enumerate(comps):
             lut = self.luts[min(i, len(self.luts) - 1)]
-            streams, sizes = self._encode_plane(comp, lut)
-            out.append(pack_streams(np.asarray(streams), np.asarray(sizes),
-                                    header if i == 0 else None))
+            with stage("encode/dwt+bpc"):
+                streams, sizes = self._encode_plane(comp, lut)
+            with stage("encode/pack"):
+                out.append(pack_streams(np.asarray(streams), np.asarray(sizes),
+                                        header if i == 0 else None))
         return out
 
     def decode(self, component_streams: list[np.ndarray]):
@@ -173,12 +182,14 @@ class TPUCodec:
         cfg = self.cfg
         planes = []
         for i, shorts in enumerate(component_streams):
-            streams, sizes = unpack_streams(shorts, self.ncb)
+            with stage("decode/unpack"):
+                streams, sizes = unpack_streams(shorts, self.ncb)
             lut = self.luts[min(i, len(self.luts) - 1)]
             n_planes = bpc_jax.planes_for_streams(streams[:, 0], sizes)
-            planes.append(self._decode_plane(jnp.asarray(streams),
-                                             jnp.asarray(sizes, jnp.int32),
-                                             lut, n_planes))
+            with stage("decode/bpc+idwt"):
+                planes.append(self._decode_plane(jnp.asarray(streams),
+                                                 jnp.asarray(sizes, jnp.int32),
+                                                 lut, n_planes))
         if cfg.is_rgb:
             rgb = self._finish_rgb(*planes)
             return [np.asarray(p)[:cfg.height, :cfg.width] for p in rgb]
