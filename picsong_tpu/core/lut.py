@@ -212,6 +212,22 @@ def neutral_lut(params: LUTParams, wavelet_levels: int, coding_passes: int,
     return np.full(size * n_groups, NEUTRAL_PROBABILITY, dtype=np.int32)
 
 
+def pad_lut(lut: np.ndarray, pad: int) -> np.ndarray:
+    """Append `pad` neutral entries to a flat LUT table.
+
+    Semantically inert (coder indices never reach the tail; the in-kernel
+    clip is a safety bound), but it changes the shape and therefore the HLO
+    hash of every jitted program taking the table — a re-roll ticket for
+    the nondeterministic remote TPU compiler (PERF_NOTES.md). Each staged
+    coding pass receives the table as an argument, so each pass program can
+    be re-rolled independently with its own pad.
+    """
+    if pad <= 0:
+        return lut
+    return np.concatenate(
+        [lut, np.full(pad, NEUTRAL_PROBABILITY, dtype=lut.dtype)])
+
+
 def group_base(params: LUTParams, wavelet_levels: int, level: int,
                subband: int, n_ctx: int) -> int:
     """Offset of a (level, subband) group within a section.

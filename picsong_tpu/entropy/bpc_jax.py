@@ -230,12 +230,17 @@ def _ac_encode(state, active, bits, probs, prec: int):
     return low, size, resv, counter, out
 
 
-def _ac_decode(state, active, probs, prec: int):
-    low, size, cw, counter, out = state
+def _ac_decode(state, streams, active, probs, prec: int):
+    """streams is the read-only codestream buffer: it is deliberately NOT
+    part of `state` — carrying a never-written array through a fori_loop
+    makes XLA:TPU rebuild it every iteration (slice x4 + ConcatBitpacked
+    over the full 16 MB buffer; measured 176 ms/pass vs 0.1 ms with it
+    closed over as a loop-invariant)."""
+    low, size, cw, counter = state
     need = active & (size == 0)
     rank = jnp.cumsum(need, axis=0) - need
     nslot = jnp.minimum(rank + counter[None, :], spec.MAX_RESERVED_SLOT) + 1
-    fetched = _row_gather(out, nslot)
+    fetched = _row_gather(streams, nslot)
     cw = jnp.where(need, fetched, cw)
     counter = jnp.minimum(counter + need.sum(axis=0), spec.MAX_SLOT_COUNT)
     low = jnp.where(need, 0, low)
@@ -250,7 +255,7 @@ def _ac_decode(state, active, probs, prec: int):
     size = jnp.where(one, size - aux, jnp.where(zero, aux - 1, size))
     low = jnp.where(one, aux2, low)
     sym = jnp.where(one, 1, 0)
-    return (low, size, cw, counter, out), sym
+    return (low, size, cw, counter), sym
 
 
 def _plane_mask(plane):
@@ -287,9 +292,21 @@ def _shift_left(x, plane):
     return x << plane.astype(_U)
 
 
+def _split_ac(ac, encode: bool):
+    """Loop-carried AC state vs closed-over read-only codestream.
+
+    The encoder mutates its output buffer (scatter), so it must be part of
+    the carry; the decoder only gathers from it, and carrying it would
+    force a full-buffer rebuild per iteration (see _ac_decode)."""
+    if encode:
+        return ac, None
+    return ac[:4], ac[4]
+
+
 def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
               three_cp: bool):
     te, to, ac = carry
+    ac, streams = _split_ac(ac, encode)
     shift, pmask, flag = _plane_consts(plane)
     n = te.shape[-1]
 
@@ -314,7 +331,7 @@ def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
                 ac = _ac_encode(ac, active, bits, probs, prec)
                 newly = active & (bits == 1)
             else:
-                ac, bits = _ac_decode(ac, active, probs, prec)
+                ac, bits = _ac_decode(ac, streams, active, probs, prec)
                 newly = active & (bits == 1)
             sctx = _sign_ctx(nb["up"], nb["lf"], nb["rt"], nb["bt"])
             sprobs = _select_prob(sign4, sctx >> 1)
@@ -323,7 +340,7 @@ def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
                 ac = _ac_encode(ac, newly, ssym, sprobs, prec)
                 upd = jnp.where(newly, cur | flag, cur)
             else:
-                ac, ssym = _ac_decode(ac, newly, sprobs, prec)
+                ac, ssym = _ac_decode(ac, streams, newly, sprobs, prec)
                 sbit = jnp.where((ssym & 1) == (sctx & 1), np.uint32(0),
                                  np.uint32(1))
                 upd = jnp.where(newly, cur | pmask | flag | sbit, cur)
@@ -336,11 +353,14 @@ def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
         return te, to, ac
 
     te, to, ac = jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    if not encode:
+        ac = ac + (streams,)
     return te, to, ac
 
 
 def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
     te, to, ac = carry
+    ac, streams = _split_ac(ac, encode)
     shift, pmask, _ = _plane_consts(plane)
     probs = jnp.broadcast_to(ref1[None, :], (_LANES, ref1.shape[0]))
     n = te.shape[-1]
@@ -363,7 +383,7 @@ def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
                 ac = _ac_encode(ac, active, bits, probs, prec)
                 upd = cur
             else:
-                ac, sym = _ac_decode(ac, active, probs, prec)
+                ac, sym = _ac_decode(ac, streams, active, probs, prec)
                 patt = _shift_left((sym.astype(_U) << 1) + 1, plane)
                 upd = jnp.where(active, (cur & ~pmask) | (pmask & patt), cur)
             upd = jnp.where(eligible, upd | _REF_BIT, upd)
@@ -373,12 +393,16 @@ def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
                 to = _write_cells(to, upd, r, 1)
         return te, to, ac
 
-    return jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    te, to, ac = jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    if not encode:
+        ac = ac + (streams,)
+    return te, to, ac
 
 
 def _cp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool):
     """Cleanup pass (coding_passes == 3)."""
     te, to, ac = carry
+    ac, streams = _split_ac(ac, encode)
     shift, pmask, flag = _plane_consts(plane, extra_flag=1 << 29)
     n = te.shape[-1]
 
@@ -395,7 +419,7 @@ def _cp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool):
                 bits = ((cur >> shift) & 1).astype(jnp.int32)
                 ac = _ac_encode(ac, active, bits, probs, prec)
             else:
-                ac, bits = _ac_decode(ac, active, probs, prec)
+                ac, bits = _ac_decode(ac, streams, active, probs, prec)
             upd = jnp.where(active, cur & ~_CP_BIT, cur)
             newly = active & (bits == 1)
             sctx = _sign_ctx(nb["up"], nb["lf"], nb["rt"], nb["bt"])
@@ -405,7 +429,7 @@ def _cp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool):
                 ac = _ac_encode(ac, newly, ssym, sprobs, prec)
                 upd = jnp.where(newly, upd | flag, upd)
             else:
-                ac, ssym = _ac_decode(ac, newly, sprobs, prec)
+                ac, ssym = _ac_decode(ac, streams, newly, sprobs, prec)
                 sbit = jnp.where((ssym & 1) == (sctx & 1), np.uint32(0),
                                  np.uint32(1))
                 upd = jnp.where(newly, upd | pmask | flag | sbit, upd)
@@ -415,7 +439,10 @@ def _cp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool):
                 to = _write_cells(to, upd, r, 1)
         return te, to, ac
 
-    return jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    te, to, ac = jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    if not encode:
+        ac = ac + (streams,)
+    return te, to, ac
 
 
 def _bulk_pass(carry, entry, cb_active, bases, lut, prec, n_planes: int,
@@ -427,6 +454,7 @@ def _bulk_pass(carry, entry, cb_active, bases, lut, prec, n_planes: int,
     BPCEngine.cu:1285-1662). bases = (ref_b (N,), sig_grid0 (9, N),
     sign_grid0 (4, N)) -- index grids precomputed outside all loops."""
     te, to, ac = carry
+    ac, streams = _split_ac(ac, encode)
     ref_b, sig_grid0, sign_grid0 = bases
     n = te.shape[-1]
     entry_u = entry.astype(_U)
@@ -461,7 +489,7 @@ def _bulk_pass(carry, entry, cb_active, bases, lut, prec, n_planes: int,
                     bits = ((work >> shift) & 1).astype(jnp.int32)
                     ac = _ac_encode(ac, a_ref, bits, probs, prec)
                 else:
-                    ac, sym = _ac_decode(ac, a_ref, probs, prec)
+                    ac, sym = _ac_decode(ac, streams, a_ref, probs, prec)
                     patt = (((sym.astype(_U) << 1) + 1)
                             << pu.astype(_U)[None, :])
                     work = jnp.where(a_ref, (work & ~pmask) | (pmask & patt),
@@ -473,7 +501,7 @@ def _bulk_pass(carry, entry, cb_active, bases, lut, prec, n_planes: int,
                     ac = _ac_encode(ac, insig, bits, sprob, prec)
                     newly = insig & (bits == 1)
                 else:
-                    ac, bits = _ac_decode(ac, insig, sprob, prec)
+                    ac, bits = _ac_decode(ac, streams, insig, sprob, prec)
                     newly = insig & (bits == 1)
                 flag = _SIG_BIT | (pu.astype(_U)[None, :] << 24)
                 sctx = _sign_ctx_bulk(nb["up"], nb["lf"], nb["rt"], nb["bt"],
@@ -485,7 +513,7 @@ def _bulk_pass(carry, entry, cb_active, bases, lut, prec, n_planes: int,
                     ac = _ac_encode(ac, newly, ssym, sgp, prec)
                     work = jnp.where(newly, work | flag, work)
                 else:
-                    ac, ssym = _ac_decode(ac, newly, sgp, prec)
+                    ac, ssym = _ac_decode(ac, streams, newly, sgp, prec)
                     sbit = jnp.where((ssym & 1) == (sctx & 1), np.uint32(0),
                                      np.uint32(1))
                     work = jnp.where(newly, work | pmask | flag | sbit, work)
@@ -498,7 +526,10 @@ def _bulk_pass(carry, entry, cb_active, bases, lut, prec, n_planes: int,
                 to = _write_cells(to, cur, r, 1)
         return te, to, ac
 
-    return jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    te, to, ac = jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    if not encode:
+        ac = ac + (streams,)
+    return te, to, ac
 
 
 # --------------------------------------------------------------------------
