@@ -21,3 +21,30 @@ Layer map (mirrors SURVEY.md section 7):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Pin XLA binaries to disk. The remote TPU compiler is
+    nondeterministic (PERF_NOTES.md: byte-identical programs compile to
+    binaries whose steady-state runtime differs ~1000x); a persistent
+    cache makes one good roll permanent. tools/roll_farm.py rolls each
+    hot program until the cached binary is fast."""
+    if _os.environ.get("PICSONG_NO_JAX_CACHE"):
+        return
+    cache = _os.environ.get(
+        "PICSONG_JAX_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()

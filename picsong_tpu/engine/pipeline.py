@@ -33,9 +33,26 @@ from ..core.geometry import (codeblock_bands, codeblocks_to_plane,
 from ..core.header import CodecConfig, pack_header
 from ..core.image_io import mirror_pad
 from ..core.lut import LUTParams
-from ..entropy import bpc_jax
+from ..entropy import bpc_jax, bpc_pallas
 from ..obs.trace import stage
 from ..transform.dwt import dwt_forward, dwt_reverse
+
+import os
+
+
+def _use_pallas_decoder() -> bool:
+    """The Mosaic decode kernel is the default on TPU (it is ~100x faster
+    than the XLA formulation there and compiles deterministically); tests
+    on CPU use the XLA path unless PICSONG_DECODER=pallas forces interpret
+    mode. PICSONG_DECODER=xla opts out entirely."""
+    import jax as _jax
+
+    mode = os.environ.get("PICSONG_DECODER", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    return _jax.default_backend() not in ("cpu",)
 
 
 class TPUCodec:
@@ -104,13 +121,47 @@ class TPUCodec:
         return bpc_jax.get_staged(self.params, self.cfg.wavelet_levels,
                                   self.cfg.coding_passes, False)
 
-    def _encode_plane(self, plane, lut):
+    def _encode_plane(self, plane, lut, n_planes: int | None = None):
+        """n_planes=None reads the coefficient max from the device — a
+        host sync. Under the axon tunnel ANY device->host read permanently
+        degrades the process to ~1000x slower dispatch (PERF_NOTES.md), so
+        hot paths must pass a host-derived n_planes (planes_host)."""
         blocks, max_mag = self._dwt_tile(plane)
-        n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
+        if n_planes is None:
+            n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
         if self.cfg.k_factor > 0:
             return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
                                          n_planes=n_planes)
         return self._staged.encode(blocks, lut, self._meta, n_planes)
+
+    def planes_host(self, pixels) -> int:
+        """Static bitplane count computed entirely on the CPU backend.
+
+        Replicates prep + DWT + |coefficient| max on host so the
+        accelerator is never read (reading it poisons dispatch, see
+        _encode_plane). Exact for lossless (integer lifting is
+        deterministic); lossy adds one plane of float-rounding margin."""
+        cfg = self.cfg
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            if cfg.is_rgb:
+                planes = [jnp.asarray(mirror_pad(np.asarray(p, np.uint8),
+                                                 self.aw, self.ah))
+                          for p in pixels]
+                comps = self._prep_rgb_impl(*planes)
+            else:
+                arr = jnp.asarray(mirror_pad(np.asarray(pixels, np.uint8),
+                                             self.aw, self.ah))
+                comps = [self._prep_gray_impl(arr)]
+            max_mag = 0
+            for comp in comps:
+                coeffs = dwt_forward(comp, cfg.wavelet_levels, cfg.is_lossy,
+                                     cfg.qs)
+                max_mag = max(max_mag,
+                              int(jnp.max(jnp.abs(coeffs.astype(jnp.int32)))))
+        if cfg.is_lossy:
+            max_mag *= 2  # one extra plane of float-rounding margin
+        return bpc_jax.planes_for_magnitude(max_mag)
 
     def _untile_idwt_impl(self, blocks):
         cfg = self.cfg
@@ -121,6 +172,13 @@ class TPUCodec:
         if self.cfg.k_factor > 0:
             blocks = bpc_jax.decode_blocks(streams, sizes, lut, *self._meta,
                                            **self._kw, n_planes=n_planes)
+        elif self.cfg.coding_passes == 2 and _use_pallas_decoder():
+            blocks = bpc_pallas.decode_blocks(
+                streams, sizes, lut, self._meta[0], self._meta[1],
+                self._meta[2], params=self.params, n_planes=n_planes,
+                interpret=os.environ.get("PICSONG_DECODER") == "pallas"
+                and jax.default_backend() == "cpu")
+            blocks = blocks.astype(jnp.int32)
         else:
             blocks = self._staged.decode(streams, sizes, lut, self._meta,
                                          n_planes)
@@ -167,11 +225,17 @@ class TPUCodec:
             plane = jnp.asarray(mirror_pad(np.asarray(pixels, np.uint8),
                                            self.aw, self.ah))
             comps = [self._prep_gray(plane)]
-        out = []
+        n_planes = self.planes_host(pixels)
+        # enqueue every component's device work before the first download:
+        # the first device->host read permanently degrades dispatch under
+        # the axon tunnel (see _encode_plane)
+        device_out = []
         for i, comp in enumerate(comps):
             lut = self.luts[min(i, len(self.luts) - 1)]
             with stage("encode/dwt+bpc"):
-                streams, sizes = self._encode_plane(comp, lut)
+                device_out.append(self._encode_plane(comp, lut, n_planes))
+        out = []
+        for i, (streams, sizes) in enumerate(device_out):
             with stage("encode/pack"):
                 out.append(pack_streams(np.asarray(streams), np.asarray(sizes),
                                         header if i == 0 else None))
