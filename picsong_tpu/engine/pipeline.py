@@ -40,19 +40,28 @@ from ..transform.dwt import dwt_forward, dwt_reverse
 import os
 
 
-def _use_pallas_decoder() -> bool:
-    """The Mosaic decode kernel is the default on TPU (it is ~100x faster
-    than the XLA formulation there and compiles deterministically); tests
-    on CPU use the XLA path unless PICSONG_DECODER=pallas forces interpret
-    mode. PICSONG_DECODER=xla opts out entirely."""
+def _use_pallas(var: str) -> bool:
+    """The Mosaic kernels are the default on TPU (decode is ~100x faster
+    than the XLA formulation there, encode ~7x, and both compile
+    deterministically); tests on CPU use the XLA path unless
+    PICSONG_{DECODER,ENCODER}=pallas forces interpret mode.
+    =xla opts out entirely."""
     import jax as _jax
 
-    mode = os.environ.get("PICSONG_DECODER", "auto")
+    mode = os.environ.get(var, "auto")
     if mode == "xla":
         return False
     if mode == "pallas":
         return True
     return _jax.default_backend() not in ("cpu",)
+
+
+def _use_pallas_decoder() -> bool:
+    return _use_pallas("PICSONG_DECODER")
+
+
+def _use_pallas_encoder() -> bool:
+    return _use_pallas("PICSONG_ENCODER")
 
 
 class TPUCodec:
@@ -132,6 +141,12 @@ class TPUCodec:
         if self.cfg.k_factor > 0:
             return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
                                          n_planes=n_planes)
+        if self.cfg.coding_passes == 2 and _use_pallas_encoder():
+            return bpc_pallas.encode_blocks(
+                blocks, lut, self._meta[0], self._meta[1], self._meta[2],
+                params=self.params, n_planes=n_planes,
+                interpret=os.environ.get("PICSONG_ENCODER") == "pallas"
+                and jax.default_backend() == "cpu")
         return self._staged.encode(blocks, lut, self._meta, n_planes)
 
     def planes_host(self, pixels) -> int:
