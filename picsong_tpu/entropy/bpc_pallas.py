@@ -536,7 +536,10 @@ def _make_kernel(n_planes: int, prec: int):
             vvo_ref[1:2, :] = valid + gain
 
         def ac_fetch(need, rank, m):
-            """Deliver the next codewords to needing lanes -> fetch_ref."""
+            """Deliver the next codewords to needing lanes -> fetch_ref.
+
+            Skipped wholesale when no lane anywhere needs a word (common on
+            sign calls): state is invariant under m == 0."""
             off = vvo_ref[2:3, :]
             valid = vvo_ref[1:2, :]
             t = off + m
@@ -576,7 +579,11 @@ def _make_kernel(n_planes: int, prec: int):
             s = _lane_scan(need)
             rank = s - need
             m = s[_LANES - 1:_LANES, :]
-            ac_fetch(need, rank, m)
+
+            @pl.when(jnp.max(m) > 0)
+            def _():
+                ac_fetch(need, rank, m)
+
             needb = need != 0
             cw = jnp.where(needb, fetch_ref[...], cw_ref[...])
             low = jnp.where(needb, 0, low_ref[...])
