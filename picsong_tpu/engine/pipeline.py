@@ -87,6 +87,26 @@ class TPUCodec:
         self._prep_rgb = jax.jit(self._prep_rgb_impl)
         self._finish_gray = jax.jit(self._finish_gray_impl)
         self._finish_rgb = jax.jit(self._finish_rgb_impl)
+        # fused one-dispatch-per-direction programs (Pallas cp=2/k=0 path):
+        # every host->device call costs a tunnel round trip, so DWT + BPC
+        # run as one jitted program per component
+        self._interpret = jax.default_backend() == "cpu"
+        self._encode_fused = jax.jit(self._encode_fused_impl,
+                                     static_argnums=(2,))
+        self._decode_fused = jax.jit(self._decode_fused_impl,
+                                     static_argnums=(3,))
+
+    def _encode_fused_impl(self, plane, lut, n_planes: int):
+        blocks, _ = self._dwt_tile_impl(plane)
+        return bpc_pallas.encode_blocks(
+            blocks, lut, self._meta[0], self._meta[1], self._meta[2],
+            params=self.params, n_planes=n_planes, interpret=self._interpret)
+
+    def _decode_fused_impl(self, streams, sizes, lut, n_planes: int):
+        blocks = bpc_pallas.decode_blocks(
+            streams, sizes, lut, self._meta[0], self._meta[1], self._meta[2],
+            params=self.params, n_planes=n_planes, interpret=self._interpret)
+        return self._untile_idwt_impl(blocks.astype(jnp.int32))
 
     # -- device programs ---------------------------------------------------
 
@@ -135,18 +155,15 @@ class TPUCodec:
         host sync. Under the axon tunnel ANY device->host read permanently
         degrades the process to ~1000x slower dispatch (PERF_NOTES.md), so
         hot paths must pass a host-derived n_planes (planes_host)."""
+        if (n_planes is not None and self.cfg.k_factor == 0
+                and self.cfg.coding_passes == 2 and _use_pallas_encoder()):
+            return self._encode_fused(plane, lut, n_planes)
         blocks, max_mag = self._dwt_tile(plane)
         if n_planes is None:
             n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
         if self.cfg.k_factor > 0:
             return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
                                          n_planes=n_planes)
-        if self.cfg.coding_passes == 2 and _use_pallas_encoder():
-            return bpc_pallas.encode_blocks(
-                blocks, lut, self._meta[0], self._meta[1], self._meta[2],
-                params=self.params, n_planes=n_planes,
-                interpret=os.environ.get("PICSONG_ENCODER") == "pallas"
-                and jax.default_backend() == "cpu")
         return self._staged.encode(blocks, lut, self._meta, n_planes)
 
     def planes_host(self, pixels) -> int:
@@ -188,12 +205,7 @@ class TPUCodec:
             blocks = bpc_jax.decode_blocks(streams, sizes, lut, *self._meta,
                                            **self._kw, n_planes=n_planes)
         elif self.cfg.coding_passes == 2 and _use_pallas_decoder():
-            blocks = bpc_pallas.decode_blocks(
-                streams, sizes, lut, self._meta[0], self._meta[1],
-                self._meta[2], params=self.params, n_planes=n_planes,
-                interpret=os.environ.get("PICSONG_DECODER") == "pallas"
-                and jax.default_backend() == "cpu")
-            blocks = blocks.astype(jnp.int32)
+            return self._decode_fused(streams, sizes, lut, n_planes)
         else:
             blocks = self._staged.decode(streams, sizes, lut, self._meta,
                                          n_planes)
