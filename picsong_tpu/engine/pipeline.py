@@ -41,19 +41,15 @@ import os
 
 
 def _use_pallas(var: str) -> bool:
-    """The Mosaic kernels are the default on TPU (decode is ~100x faster
-    than the XLA formulation there, encode ~7x, and both compile
-    deterministically); tests on CPU use the XLA path unless
-    PICSONG_{DECODER,ENCODER}=pallas forces interpret mode.
-    =xla opts out entirely."""
-    import jax as _jax
-
+    """Kernel-path selection. Default is the staged XLA formulation on
+    every backend: on the current axon runtime (TPU v5 lite) it round
+    trips 2048^2 in ~1.8 ms while the Mosaic kernels run ~45x slower
+    (re-measured 2026-08-18, PERF_NOTES.md — the opposite of the earlier
+    tunnel where Pallas won by 100x; the remote runtime changed).
+    PICSONG_{DECODER,ENCODER}=pallas re-enables the Mosaic kernels
+    (interpret mode on CPU), =xla forces the staged path explicitly."""
     mode = os.environ.get(var, "auto")
-    if mode == "xla":
-        return False
-    if mode == "pallas":
-        return True
-    return _jax.default_backend() not in ("cpu",)
+    return mode == "pallas"
 
 
 def _use_pallas_decoder() -> bool:
