@@ -40,24 +40,30 @@ from ..transform.dwt import dwt_forward, dwt_reverse
 import os
 
 
-def _use_pallas(var: str) -> bool:
-    """Kernel-path selection. Default is the staged XLA formulation on
-    every backend: on the current axon runtime (TPU v5 lite) it round
-    trips 2048^2 in ~1.8 ms while the Mosaic kernels run ~45x slower
-    (re-measured 2026-08-18, PERF_NOTES.md — the opposite of the earlier
-    tunnel where Pallas won by 100x; the remote runtime changed).
-    PICSONG_{DECODER,ENCODER}=pallas re-enables the Mosaic kernels
-    (interpret mode on CPU), =xla forces the staged path explicitly."""
-    mode = os.environ.get(var, "auto")
-    return mode == "pallas"
+def _bpc_mode(var: str) -> str:
+    """Kernel-path selection: 'mono' (default), 'staged', or 'pallas'.
+
+    Re-measured 2026-08-18 on the current axon runtime (TPU v5 lite,
+    PERF_NOTES.md): the monolithic single-program formulation (bitplane
+    loop unrolled at trace time, one dispatch per direction) runs 2048^2
+    BPC in ~0.06 ms — ~17x faster than the staged host-sequenced path and
+    ~450x faster than the Mosaic kernels. The old runtime's chained-loop
+    aliasing pathology (which forced the staged path) is gone. 'xla' is
+    accepted as an alias for 'staged' for backwards compatibility."""
+    mode = os.environ.get(var, "mono")
+    if mode in ("auto", ""):
+        return "mono"
+    if mode == "xla":
+        return "staged"
+    return mode
 
 
-def _use_pallas_decoder() -> bool:
-    return _use_pallas("PICSONG_DECODER")
+def _decoder_mode() -> str:
+    return _bpc_mode("PICSONG_DECODER")
 
 
-def _use_pallas_encoder() -> bool:
-    return _use_pallas("PICSONG_ENCODER")
+def _encoder_mode() -> str:
+    return _bpc_mode("PICSONG_ENCODER")
 
 
 class TPUCodec:
@@ -83,14 +89,20 @@ class TPUCodec:
         self._prep_rgb = jax.jit(self._prep_rgb_impl)
         self._finish_gray = jax.jit(self._finish_gray_impl)
         self._finish_rgb = jax.jit(self._finish_rgb_impl)
-        # fused one-dispatch-per-direction programs (Pallas cp=2/k=0 path):
-        # every host->device call costs a tunnel round trip, so DWT + BPC
-        # run as one jitted program per component
+        # fused one-dispatch-per-direction programs: every host->device
+        # call costs a tunnel round trip, so DWT + BPC run as one jitted
+        # program per component. Default is the monolithic XLA formulation
+        # (bitplane loop unrolled at trace time); the Mosaic kernels are
+        # kept behind PICSONG_{ENCODER,DECODER}=pallas.
         self._interpret = jax.default_backend() == "cpu"
         self._encode_fused = jax.jit(self._encode_fused_impl,
                                      static_argnums=(2,))
         self._decode_fused = jax.jit(self._decode_fused_impl,
                                      static_argnums=(3,))
+        self._encode_mono = jax.jit(self._encode_mono_impl,
+                                    static_argnums=(2,))
+        self._decode_mono = jax.jit(self._decode_mono_impl,
+                                    static_argnums=(3,))
 
     def _encode_fused_impl(self, plane, lut, n_planes: int):
         blocks, _ = self._dwt_tile_impl(plane)
@@ -103,6 +115,16 @@ class TPUCodec:
             streams, sizes, lut, self._meta[0], self._meta[1], self._meta[2],
             params=self.params, n_planes=n_planes, interpret=self._interpret)
         return self._untile_idwt_impl(blocks.astype(jnp.int32))
+
+    def _encode_mono_impl(self, plane, lut, n_planes: int):
+        blocks, _ = self._dwt_tile_impl(plane)
+        return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
+                                     n_planes=n_planes)
+
+    def _decode_mono_impl(self, streams, sizes, lut, n_planes: int):
+        blocks = bpc_jax.decode_blocks(streams, sizes, lut, *self._meta,
+                                       **self._kw, n_planes=n_planes)
+        return self._untile_idwt_impl(blocks)
 
     # -- device programs ---------------------------------------------------
 
@@ -151,16 +173,21 @@ class TPUCodec:
         host sync. Under the axon tunnel ANY device->host read permanently
         degrades the process to ~1000x slower dispatch (PERF_NOTES.md), so
         hot paths must pass a host-derived n_planes (planes_host)."""
+        mode = _encoder_mode()
         if (n_planes is not None and self.cfg.k_factor == 0
-                and self.cfg.coding_passes == 2 and _use_pallas_encoder()):
+                and self.cfg.coding_passes == 2 and mode == "pallas"):
             return self._encode_fused(plane, lut, n_planes)
-        blocks, max_mag = self._dwt_tile(plane)
         if n_planes is None:
+            blocks, max_mag = self._dwt_tile(plane)
             n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
-        if self.cfg.k_factor > 0:
+            if mode == "staged" and self.cfg.k_factor == 0:
+                return self._staged.encode(blocks, lut, self._meta, n_planes)
             return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
                                          n_planes=n_planes)
-        return self._staged.encode(blocks, lut, self._meta, n_planes)
+        if mode == "staged" and self.cfg.k_factor == 0:
+            blocks, _ = self._dwt_tile(plane)
+            return self._staged.encode(blocks, lut, self._meta, n_planes)
+        return self._encode_mono(plane, lut, n_planes)
 
     def planes_host(self, pixels) -> int:
         """Static bitplane count computed entirely on the CPU backend.
@@ -197,15 +224,15 @@ class TPUCodec:
         return dwt_reverse(mallat, cfg.wavelet_levels, cfg.is_lossy, cfg.qs)
 
     def _decode_plane(self, streams, sizes, lut, n_planes):
-        if self.cfg.k_factor > 0:
-            blocks = bpc_jax.decode_blocks(streams, sizes, lut, *self._meta,
-                                           **self._kw, n_planes=n_planes)
-        elif self.cfg.coding_passes == 2 and _use_pallas_decoder():
+        mode = _decoder_mode()
+        if (self.cfg.k_factor == 0 and self.cfg.coding_passes == 2
+                and mode == "pallas"):
             return self._decode_fused(streams, sizes, lut, n_planes)
-        else:
+        if mode == "staged" and self.cfg.k_factor == 0:
             blocks = self._staged.decode(streams, sizes, lut, self._meta,
                                          n_planes)
-        return self._untile_idwt(blocks)
+            return self._untile_idwt(blocks)
+        return self._decode_mono(streams, sizes, lut, n_planes)
 
     def _finish_gray_impl(self, plane):
         """Undo DC shift and clamp (removeOffsetAndApplyMaxMin,
