@@ -268,7 +268,21 @@ class TPUCodec:
     # -- host-facing API ---------------------------------------------------
 
     def encode(self, pixels) -> list[np.ndarray]:
-        """uint8 plane (gray) or [R, G, B] planes -> component codestreams."""
+        """uint8 plane (gray) or [R, G, B] planes -> component codestreams.
+
+        The static bitplane count comes from a host-side bound
+        (planes_host); if the device data ever exceeds it (possible only
+        through the lossy float-rounding margin) the guarded pack raises
+        PlaneOverflowError and the frame is re-encoded with the corrected
+        bound instead of shipping a corrupt stream."""
+        n_planes = self.planes_host(pixels)
+        while True:
+            try:
+                return self._encode_attempt(pixels, n_planes)
+            except bpc_jax.PlaneOverflowError as e:
+                n_planes = e.needed
+
+    def _encode_attempt(self, pixels, n_planes: int) -> list[np.ndarray]:
         cfg = self.cfg
         header = pack_header(cfg)
         if cfg.is_rgb:
@@ -280,7 +294,6 @@ class TPUCodec:
             plane = jnp.asarray(mirror_pad(np.asarray(pixels, np.uint8),
                                            self.aw, self.ah))
             comps = [self._prep_gray(plane)]
-        n_planes = self.planes_host(pixels)
         # enqueue every component's device work before the first download:
         # the first device->host read permanently degrades dispatch under
         # the axon tunnel (see _encode_plane)
@@ -291,8 +304,12 @@ class TPUCodec:
                 device_out.append(self._encode_plane(comp, lut, n_planes))
         out = []
         for i, (streams, sizes) in enumerate(device_out):
+            streams, sizes = np.asarray(streams), np.asarray(sizes)
+            # loud guard: if the host-derived bound undercut the true MSB,
+            # high bitplanes were silently skipped — corrupt stream
+            bpc_jax.check_planes_bound(streams[:, 0], sizes, n_planes)
             with stage("encode/pack"):
-                out.append(pack_streams(np.asarray(streams), np.asarray(sizes),
+                out.append(pack_streams(streams, sizes,
                                         header if i == 0 else None))
         return out
 

@@ -760,6 +760,41 @@ def planes_for_magnitude(max_magnitude: int, quantum: int = 4) -> int:
     return max(-(-need // quantum) * quantum, quantum) if need > 0 else quantum
 
 
+class PlaneOverflowError(OverflowError):
+    """The static bitplane bound was lower than a codeblock's true MSB.
+
+    Raised by check_planes_bound when an encode ran with n_planes <= MSB:
+    the planes above the bound were never coded, so the stream would decode
+    to corrupt data (the reference cannot hit this — its per-block MSB is
+    read on device, BPCEngine.cu:1998 — but our host-derived bound can be
+    undercut by lossy float-rounding margins). `needed` is a valid n_planes
+    to retry with."""
+
+    def __init__(self, msb: int, n_planes: int, quantum: int = 4):
+        self.msb = msb
+        self.needed = max(-(-(msb + 1) // quantum) * quantum, quantum)
+        super().__init__(
+            f"codeblock MSB {msb} exceeds the static bitplane bound "
+            f"n_planes={n_planes}; high bitplanes were not coded. "
+            f"Retry with n_planes >= {self.needed}.")
+
+
+def check_planes_bound(msb_words, sizes, n_planes: int) -> None:
+    """Fail loudly if any encoded block's true MSB exceeded the bound.
+
+    The encoder writes each block's true MSB (computed on device from the
+    coefficients, independent of n_planes) as stream word 0, so this check
+    costs nothing extra: it runs on the already-downloaded streams. Raw
+    fallback blocks (sizes == 4096) carry verbatim data and are exempt."""
+    msb_words = np.asarray(msb_words)
+    sizes = np.asarray(sizes)
+    real = (msb_words != 32) & (sizes != spec.CBLOCK_SIZE)
+    if real.any():
+        msb = int(msb_words[real].max())
+        if msb + 1 > n_planes:
+            raise PlaneOverflowError(msb, n_planes)
+
+
 def planes_for_streams(msb_words, sizes, quantum: int = 4) -> int:
     """Static bitplane count for decoding a batch of codeblock streams."""
     msb_words = np.asarray(msb_words)
