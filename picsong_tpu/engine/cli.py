@@ -51,7 +51,7 @@ HELP = """PICSONG-TPU codec. Options (reference-compatible):
   -endianess [0|1]   sample endianness
   -signedOrUnsigned [0|1]
   -numberOfStreams N pipeline prefetch depth
-  -LUTFolder PATH    LUT folder (or 'neutral')
+  -LUTFolder PATH    LUT folder (or 'neutral' / 'trained')
   -k K               complexity-scalability factor, 0..65.535
 """
 
@@ -74,7 +74,12 @@ def _parse_args(argv: list[str]) -> dict:
 
 
 def _load_luts(folder: str, wavelet_levels: int, coding_passes: int,
-               k_factor: float):
+               k_factor: float, lossy: bool = False):
+    if folder == "trained":
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        folder = os.path.join(repo, "luts",
+                              "trained_lossy" if lossy else "trained_lossless")
     if not folder or folder == "neutral" or not os.path.isdir(folder):
         params = LUTParams()
         groups = params.n_bitplane_files if k_factor > 0 else 1
@@ -140,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                           is_lossy=lossy, qs=qs, is_rgb=is_rgb,
                           endianess=endianess, bps=bps, is_signed=is_signed,
                           frames=frames, k_factor=k)
-        luts, params = _load_luts(opts.get("LUTFolder", ""), wl, cp, k)
+        luts, params = _load_luts(opts.get("LUTFolder", ""), wl, cp, k, lossy)
 
         if is_video:
             stats = encode_video(input_file, output_file, cfg, luts, params,
@@ -161,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = unpack_header(header)
         luts, params = _load_luts(opts.get("LUTFolder", ""),
                                   cfg.wavelet_levels, cfg.coding_passes,
-                                  cfg.k_factor)
+                                  cfg.k_factor, cfg.is_lossy)
         if is_video:
             stats = decode_video(input_file, output_file, cfg, luts, params,
                                  prefetch_depth=max(streams_depth, 1),

@@ -72,14 +72,25 @@ def test_neutral_lut_size():
     assert np.all(lut == NEUTRAL_PROBABILITY)
 
 
-def test_reference_lut_folder_if_present():
-    """Parse the upstream LUT data when mounted (read-only check)."""
-    import os
+def test_reference_lut_folder():
+    """Parse the upstream LUT data (mounted read-only at /root/reference)."""
     folder = "/root/reference/CUDA_ImCod/LUT/n1_lossless"
-    if not os.path.isdir(folder):
-        return
     luts, params = load_luts(folder, wavelet_levels=5, coding_passes=2, k_factor=0.0)
     assert len(luts) == 3
     assert params.n_bitplanes == 15 and params.mult_precision == 7
     # spot-check first refR record: "0 0 0 : 73"
     assert luts[0][0] == 73
+
+
+def test_shipped_trained_lut_folders():
+    """The repo ships trained LUT folders (tools/lut_train.py output)."""
+    import os
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "luts")
+    for name in ("trained_lossless", "trained_lossy"):
+        luts, params = load_luts(os.path.join(root, name), wavelet_levels=5,
+                                 coding_passes=2, k_factor=0.0)
+        assert len(luts) == 3
+        assert params.n_bitplanes == 15
+        # trained, not neutral: a large share of cells must differ from 64
+        assert np.mean(luts[0] != NEUTRAL_PROBABILITY) > 0.2

@@ -57,60 +57,65 @@ class _Stats:
         return level * 3 + subband
 
 
-def _sign_ctx_code(h: np.ndarray, v: np.ndarray) -> np.ndarray:
-    out = np.zeros_like(h)
-    out = np.where((h == 0) & (v > 0), 2, out)
-    out = np.where((h == 0) & (v < 0), 3, out)
-    out = np.where((h > 0) & (v == 0), 4, out)
-    out = np.where((h > 0) & (v > 0), 6, out)
-    out = np.where((h > 0) & (v < 0), 0, out)
-    out = np.where((h < 0) & (v == 0), 5, out)
-    out = np.where((h < 0) & (v > 0), 1, out)
-    out = np.where((h < 0) & (v < 0), 7, out)
-    return out
-
-
 def collect_block(stats: _Stats, block: np.ndarray, level: int, subband: int):
-    """Count SPP/MRP events for one codeblock (whole-plane vectorized).
+    """Count SPP/MRP events for one codeblock with the EXACT coder scan.
 
-    Context formation matches the coder (computeContext/computeSignContext,
-    BPCEngine.cu:222-323). Statistics are gathered plane-synchronously
-    (neighbor significance from the end of the previous plane) — a
-    first-order approximation of the in-scan state that is accurate enough
-    for stationary tables and orders of magnitude faster to collect.
+    Runs the same 64-row x 2-phase significance-propagation and refinement
+    scan as the coder (reference/bpc.py _spp_pass/_mrp_pass, mirroring
+    BPCEngine.cu:799-1022), including in-scan state updates — so the
+    (context, bit) statistics are drawn from exactly the distribution the
+    coder will index at code time. (A previous plane-synchronous
+    approximation produced tables *worse* than neutral: it systematically
+    undercounted contexts, because the coder's up/left neighbors already
+    reflect the current plane's significance.)
     """
+    from picsong_tpu.reference import bpc
+
     g = stats.group(level, subband)
-    mag = np.abs(block).astype(np.int64)
-    sgn = (block < 0)
-    msb_val = int(mag.max())
-    if msb_val == 0:
+    mag = np.abs(block.astype(np.int64))
+    signbit = (block < 0).astype(np.int64)
+    T = (mag << 1) | signbit
+    msb_or = int(np.bitwise_or.reduce((T >> 1).reshape(-1)))
+    if not msb_or:
         return
-    msb = msb_val.bit_length() - 1
-    significant = np.zeros_like(mag, dtype=bool)
-    refine_eligible = np.zeros_like(mag, dtype=bool)
+    msb = msb_or.bit_length() - 1
+
+    from picsong_tpu.core.lut import LUTParams
+    coder = bpc._CodeblockCoder(np.full(8, 64, np.int64), LUTParams(),
+                                bpc._LutPtrs(0, 0, 0))
+    coder.T[1:-1, 1:-1] = T
+
     for plane in range(min(msb, stats.nbp - 1), -1, -1):
-        bit = (mag >> plane) & 1
-        sig_p = np.pad(significant, 1)
-        ctx = sum(sig_p[1 + dy:65 + dy, 1 + dx:65 + dx]
-                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-                  if (dy, dx) != (0, 0)).astype(np.int64)
-        insig = ~significant
-        np.add.at(stats.sig[g, plane], (ctx[insig], bit[insig]), 1)
-        newly = insig & (bit == 1)
-        if newly.any():
-            spad = np.pad(np.where(significant, np.where(sgn, -1, 1), 0), 1)
-            h = spad[1:65, :64] + spad[1:65, 2:66]
-            v = spad[:64, 1:65] + spad[2:66, 1:65]
-            code = _sign_ctx_code(h, v)
-            mismatch = (sgn != ((code & 1) == 1)).astype(np.int64)
-            np.add.at(stats.sign[g, plane],
-                      ((code[newly] >> 1), mismatch[newly]), 1)
-        refined = refine_eligible
-        np.add.at(stats.ref[g, plane], (np.zeros(int(refined.sum()),
-                                                 dtype=np.int64),
-                                        bit[refined]), 1)
-        refine_eligible = refine_eligible | significant
-        significant = significant | (bit == 1)
+        # SPP: significance + sign (BPCEngine.cu:799-843)
+        for row in range(64):
+            for phase in range(2):
+                cur, cols = coder.cells(row, phase)
+                nb = coder.neighbors(row, phase)
+                active = (cur >> 31) == 0
+                ctx = coder._sig_context(nb)
+                bits = (cur >> (plane + 1)) & 1
+                np.add.at(stats.sig[g, plane], (ctx[active], bits[active]), 1)
+                newly = active & (bits == 1)
+                upd = cur
+                if newly.any():
+                    sctx = coder._sign_context(nb["up"], nb["lf"], nb["rt"],
+                                               nb["bt"])
+                    ssym = np.where((cur & 1) == (sctx & 1), 0, 1)
+                    np.add.at(stats.sign[g, plane],
+                              ((sctx[newly] >> 1), ssym[newly]), 1)
+                    upd = np.where(newly, cur | (1 << 31) | (plane << 24), cur)
+                coder.T[row + 1, cols] = upd
+        # MRP: refinement (BPCEngine.cu:986-1022)
+        for row in range(64):
+            for phase in range(2):
+                cur, cols = coder.cells(row, phase)
+                refine = ((cur >> 29) & 1) == 1
+                eligible_next = ~refine & (((cur >> 31) & 1) == 1)
+                bits = (cur >> (plane + 1)) & 1
+                stats.ref[g, plane, 0, 0] += int((refine & (bits == 0)).sum())
+                stats.ref[g, plane, 0, 1] += int((refine & (bits == 1)).sum())
+                coder.T[row + 1, cols] = np.where(eligible_next,
+                                                  cur | (1 << 29), cur)
 
 
 def collect_image(stats: _Stats, plane: np.ndarray, levels: int,
@@ -169,19 +174,33 @@ def write_lut_folder(stats: _Stats, out_dir: str, n_bitplane_files: int = 15):
                     f.write(text)
 
 
-def synthetic_ensemble(rng, count=6, size=512):
-    """Filtered-noise images with varying correlation lengths."""
+def synthetic_ensemble(rng, count=9, size=512):
+    """Natural-image stand-ins: correlated base + sensor-like noise.
+
+    Diversity matters more than realism here: tables trained on only
+    ultra-smooth images predict P(bit=0) ~ 127/128 at the low bitplanes
+    and EXPAND noisy images (a 1 under p=127 costs ~7 bits), ending up
+    worse than neutral. Mixing correlation lengths, noise amplitudes and
+    edge content keeps every (plane, context) cell honestly populated.
+    """
     out = []
+    specs = [(2, 0.0), (4, 2.0), (8, 4.0), (16, 8.0), (32, 1.0),
+             (2, 8.0), (8, 16.0), (4, 0.5), (16, 2.0)]
     for i in range(count):
-        sigma = [1, 2, 4, 8, 16, 32][i % 6]
+        sigma, namp = specs[i % len(specs)]
         noise = rng.normal(0, 1, size=(size, size))
         f = np.fft.fft2(noise)
         fy = np.fft.fftfreq(size)[:, None]
         fx = np.fft.fftfreq(size)[None, :]
         filt = np.exp(-(fx ** 2 + fy ** 2) * (sigma * size / 8) ** 2)
         img = np.real(np.fft.ifft2(f * filt))
-        img = (img - img.min()) / max(np.ptp(img), 1e-9)
-        out.append((img * 255).astype(np.uint8))
+        img = (img - img.min()) / max(np.ptp(img), 1e-9) * 255
+        if i % 3 == 2:   # piecewise content: hard edges every ~96 px
+            yy, xx = np.mgrid[0:size, 0:size]
+            img = np.where(((yy // 96) + (xx // 96)) % 2 == 0, img,
+                           255.0 - img)
+        img = img + rng.normal(0, namp, size=(size, size))
+        out.append(np.clip(img, 0, 255).astype(np.uint8))
     return out
 
 
