@@ -125,32 +125,105 @@ class ShardedCodec:
                 out_shardings=self._cb_sharded)
         return self._decode_cache[n_planes]
 
-    def encode_plane(self, plane_shifted):
-        """Encode one DC-shifted component plane; returns (streams, sizes)."""
-        lut = self.luts[0]
+    def encode_plane(self, plane_shifted, n_planes: int | None = None,
+                     lut_index: int = 0):
+        """Encode one DC-shifted component plane; returns (streams, sizes).
+
+        n_planes=None derives the static bitplane bound by reading the
+        device max — fine on a CPU mesh, but a device->host read degrades
+        the axon tunnel permanently (PERF_NOTES.md); TPU callers should
+        pass a host-derived bound (pipeline.host_plane_bound)."""
+        lut = self.luts[min(lut_index, len(self.luts) - 1)]
         blocks, max_mag = self._dwt_tile(jnp.asarray(plane_shifted))
-        n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
+        if n_planes is None:
+            n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
         streams, sizes = self._encode_fn(n_planes)(blocks, lut)
         return np.asarray(streams), np.asarray(sizes)
 
-    def decode_plane(self, streams, sizes):
-        lut = self.luts[0]
+    def decode_plane(self, streams, sizes, lut_index: int = 0):
+        lut = self.luts[min(lut_index, len(self.luts) - 1)]
         n_planes = bpc_jax.planes_for_streams(np.asarray(streams)[:, 0], sizes)
         blocks = self._decode_fn(n_planes)(jnp.asarray(streams, jnp.int32),
                                            jnp.asarray(sizes, jnp.int32), lut)
         out = self._untile_idwt(blocks)
         return np.asarray(out)
 
-    def encode(self, pixels) -> list[np.ndarray]:
-        """uint8 grayscale image -> packed codestream (header included)."""
+    # -- host-facing API (mirrors TPUCodec.encode/decode) --------------------
+
+    def _prep_host(self, pixels):
+        """Mirror-pad + DC shift + color transform on the host."""
         cfg = self.cfg
         offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
-        plane = mirror_pad(np.asarray(pixels, np.uint8), self.aw, self.ah)
-        shifted = plane.astype(np.int32) - offset
+        planes = pixels if cfg.is_rgb else [pixels]
+        padded = [mirror_pad(np.asarray(p, np.uint8), self.aw, self.ah)
+                  .astype(np.int32) - offset for p in planes]
+        if cfg.is_rgb:
+            if cfg.is_lossy:
+                r, g, b = (p.astype(np.float32) for p in padded)
+                m = np.asarray(spec.ICT_FORWARD)
+                comps = [m[i, 0] * r + m[i, 1] * g + m[i, 2] * b
+                         for i in range(3)]
+            else:
+                r, g, b = padded
+                comps = [(r + 2 * g + b) >> 2, b - g, r - g]
+        else:
+            comps = ([padded[0].astype(np.float32)] if cfg.is_lossy
+                     else [padded[0]])
+        return comps
+
+    def encode(self, pixels) -> list[np.ndarray]:
+        """uint8 plane (gray) or [R, G, B] -> packed component codestreams.
+
+        The bitplane bound comes from the host-side CPU replica (no device
+        read; see encode_plane) and is validated against each downloaded
+        stream's true MSB."""
+        from ..engine.pipeline import host_plane_bound
+        cfg = self.cfg
+        n_planes = host_plane_bound(cfg, pixels, self.aw, self.ah)
+        comps = self._prep_host(pixels)
+        while True:
+            try:
+                out = []
+                for i, comp in enumerate(comps):
+                    streams, sizes = self.encode_plane(comp, n_planes, i)
+                    bpc_jax.check_planes_bound(streams[:, 0], sizes, n_planes)
+                    out.append(pack_streams(streams, sizes,
+                                            pack_header(cfg) if i == 0
+                                            else None))
+                return out
+            except bpc_jax.PlaneOverflowError as e:
+                n_planes = e.needed
+
+    def decode(self, component_streams: list[np.ndarray]):
+        """Packed component codestreams -> uint8 plane(s), cropped."""
+        from ..assembly.pack import unpack_streams
+        cfg = self.cfg
+        offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
+        planes = []
+        for i, shorts in enumerate(component_streams):
+            streams, sizes = unpack_streams(shorts, self.ncb)
+            planes.append(self.decode_plane(streams, sizes, i))
+        if cfg.is_rgb:
+            c0, c1, c2 = planes
+            if cfg.is_lossy:
+                m = np.asarray(spec.ICT_BACKWARD)
+                outs = [np.rint(m[r, 0] * c0 + m[r, 1] * c1 + m[r, 2] * c2
+                                + np.float32(0.01)).astype(np.int32)
+                        for r in range(3)]
+                r, g, b = outs
+            else:
+                y, u, v = (p.astype(np.int32) for p in planes)
+                g = y - ((u + v) >> 2)
+                r = v + g
+                b = u + g
+            return [np.clip(c + offset, 0, 255).astype(np.uint8)
+                    [:cfg.height, :cfg.width] for c in (r, g, b)]
+        plane = planes[0]
         if cfg.is_lossy:
-            shifted = shifted.astype(np.float32)
-        streams, sizes = self.encode_plane(shifted)
-        return [pack_streams(streams, sizes, pack_header(cfg))]
+            plane = np.rint(plane + np.float32(offset) + np.float32(0.01))
+        else:
+            plane = plane + offset
+        return np.clip(plane, 0, 255).astype(np.uint8)[:cfg.height, :cfg.width]
 
 
 class FrameParallelCodec:

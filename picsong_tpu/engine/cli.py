@@ -50,7 +50,7 @@ HELP = """PICSONG-TPU codec. Options (reference-compatible):
   -bps N             bits per sample
   -endianess [0|1]   sample endianness
   -signedOrUnsigned [0|1]
-  -numberOfStreams N pipeline prefetch depth
+  -numberOfStreams N video frame batch size (frames/dispatch)
   -LUTFolder PATH    LUT folder (or 'neutral' / 'trained')
   -k K               complexity-scalability factor, 0..65.535
 """
@@ -107,7 +107,7 @@ def main(argv: list[str] | None = None) -> int:
     cd = int(opts.get("cd", 2))
     input_file = opts.get("i", "")
     output_file = opts.get("o", "")
-    streams_depth = int(opts.get("numberOfStreams", 2))
+    streams_depth = int(opts.get("numberOfStreams", 8))
     is_video = int(opts.get("video", 0)) == 1
 
     if cd == 0:
@@ -149,12 +149,13 @@ def main(argv: list[str] | None = None) -> int:
 
         if is_video:
             stats = encode_video(input_file, output_file, cfg, luts, params,
-                                 frames, prefetch_depth=max(streams_depth, 1),
+                                 frames, batch=max(streams_depth, 1),
                                  progress=True)
             print(f"Encoded {stats.frames} frames in {stats.wall_s:.3f}s "
-                  f"(compute {stats.compute_s:.3f}s, reader stall "
-                  f"{stats.reader_stall_s:.3f}s, writer stall "
-                  f"{stats.writer_stall_s:.3f}s)")
+                  f"(batch {stats.batch}, compute {stats.compute_s:.3f}s, "
+                  f"reader stall {stats.reader_stall_s:.3f}s, writer stall "
+                  f"{stats.writer_stall_s:.3f}s, writer busy "
+                  f"{stats.writer_busy_s:.3f}s)")
         else:
             pixels = _read_encode_input(input_file, cfg)
             codec = TPUCodec(cfg, luts, params)
@@ -169,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
                                   cfg.k_factor, cfg.is_lossy)
         if is_video:
             stats = decode_video(input_file, output_file, cfg, luts, params,
-                                 prefetch_depth=max(streams_depth, 1),
+                                 batch=max(streams_depth, 1),
                                  progress=True)
             print(f"Decoded {stats.frames} frames in {stats.wall_s:.3f}s "
                   f"(compute {stats.compute_s:.3f}s)")

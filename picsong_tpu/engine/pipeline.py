@@ -201,27 +201,7 @@ class TPUCodec:
         accelerator is never read (reading it poisons dispatch, see
         _encode_plane). Exact for lossless (integer lifting is
         deterministic); lossy adds one plane of float-rounding margin."""
-        cfg = self.cfg
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            if cfg.is_rgb:
-                planes = [jnp.asarray(mirror_pad(np.asarray(p, np.uint8),
-                                                 self.aw, self.ah))
-                          for p in pixels]
-                comps = self._prep_rgb_impl(*planes)
-            else:
-                arr = jnp.asarray(mirror_pad(np.asarray(pixels, np.uint8),
-                                             self.aw, self.ah))
-                comps = [self._prep_gray_impl(arr)]
-            max_mag = 0
-            for comp in comps:
-                coeffs = dwt_forward(comp, cfg.wavelet_levels, cfg.is_lossy,
-                                     cfg.qs)
-                max_mag = max(max_mag,
-                              int(jnp.max(jnp.abs(coeffs.astype(jnp.int32)))))
-        if cfg.is_lossy:
-            max_mag *= 2  # one extra plane of float-rounding margin
-        return bpc_jax.planes_for_magnitude(max_mag)
+        return host_plane_bound(self.cfg, pixels, self.aw, self.ah)
 
     def _untile_idwt_impl(self, blocks):
         cfg = self.cfg
@@ -331,6 +311,45 @@ class TPUCodec:
             return [np.asarray(p)[:cfg.height, :cfg.width] for p in rgb]
         plane = self._finish_gray(planes[0])
         return np.asarray(plane)[:cfg.height, :cfg.width]
+
+
+def host_plane_bound(cfg: CodecConfig, pixels, aw: int, ah: int,
+                     extra_margin: int = 0) -> int:
+    """Static bitplane bound from a CPU-backend replica of prep + DWT.
+
+    Never reads the accelerator (the first device->host read permanently
+    degrades dispatch under the axon tunnel, PERF_NOTES.md). `extra_margin`
+    shifts the magnitude bound left by that many planes — used by the
+    video path, which derives one bound from the first frame for the whole
+    sequence and relies on check_planes_bound for pathological content."""
+    offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if cfg.is_rgb:
+            planes = [jnp.asarray(mirror_pad(np.asarray(p, np.uint8),
+                                             aw, ah).astype(np.int32)
+                                  - offset) for p in pixels]
+            if cfg.is_lossy:
+                rf, gf, bf = (p.astype(jnp.float32) for p in planes)
+                m = spec.ICT_FORWARD
+                comps = [m[i, 0] * rf + m[i, 1] * gf + m[i, 2] * bf
+                         for i in range(3)]
+            else:
+                ri, gi, bi = planes
+                comps = [(ri + 2 * gi + bi) >> 2, bi - gi, ri - gi]
+        else:
+            arr = jnp.asarray(mirror_pad(np.asarray(pixels, np.uint8),
+                                         aw, ah).astype(np.int32) - offset)
+            comps = [arr.astype(jnp.float32) if cfg.is_lossy else arr]
+        max_mag = 0
+        for comp in comps:
+            coeffs = dwt_forward(comp, cfg.wavelet_levels, cfg.is_lossy,
+                                 cfg.qs)
+            max_mag = max(max_mag,
+                          int(jnp.max(jnp.abs(coeffs.astype(jnp.int32)))))
+    if cfg.is_lossy:
+        max_mag *= 2  # one extra plane of float-rounding margin
+    return bpc_jax.planes_for_magnitude(max_mag << extra_margin)
 
 
 # --------------------------------------------------------------------------

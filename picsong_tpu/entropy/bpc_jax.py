@@ -747,6 +747,175 @@ def decode_blocks(streams: jnp.ndarray, sizes: jnp.ndarray, lut: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
+# Fused single-dispatch engine: init + ONE flattened loop + finish
+# --------------------------------------------------------------------------
+#
+# The staged engine (below) issues 2 x n_planes program calls per encode.
+# That is the fastest schedule when the process only ever dispatches —
+# but under the axon TPU tunnel the first device->host read permanently
+# switches the client into a mode that round-trips full argument sets per
+# call (PERF_NOTES.md), which multiplies the staged chain's ~70 MB of
+# carried state into seconds of transfer PER BATCH. Video must download
+# streams mid-run, so it needs the whole coder in ONE program.
+#
+# Rule 3 (one big-carry loop per jitted program) forbids chaining the
+# per-pass row loops, so the fused engine flattens (plane, pass, row) into
+# a SINGLE fori_loop of 2 * n_planes * 64 iterations whose body is the
+# union of the SPP and MRP row steps: the inactive pass's lane masks are
+# zero, making its AC transitions no-ops (`where`-masked, never branched).
+# All per-plane LUT tables are prefetched into (n_planes, ctx, N) arrays
+# before the loop (one gather each) and dynamic_sliced per iteration.
+# Covers cp == 2, k == 0 (the video configuration); others use staged/mono.
+
+class FusedBPC:
+    """One-program BPC engine for cp=2, k=0."""
+
+    def __init__(self, params: LUTParams, wavelet_levels: int):
+        self.params = params
+        self.wavelet_levels = wavelet_levels
+        self._encode = jax.jit(self._encode_impl, static_argnums=(3,))
+        self._decode = jax.jit(self._decode_impl, static_argnums=(4,))
+
+    def _tables(self, lut, meta, n_planes: int):
+        """Prefetch per-plane LUT tables: one gather per section."""
+        ref_base, sig_base, sign_base = meta[0], meta[1], meta[2]
+        planes = jnp.arange(n_planes, dtype=jnp.int32)[:, None, None]
+        i9 = jnp.arange(9, dtype=jnp.int32)[None, :, None]
+        i4 = jnp.arange(4, dtype=jnp.int32)[None, :, None]
+        top = lut.shape[0] - 1
+        sig_all = lut[jnp.clip(sig_base[None, None, :] + planes * 9 + i9,
+                               0, top)]
+        sign_all = lut[jnp.clip(sign_base[None, None, :] + planes * 4 + i4,
+                                0, top)]
+        ref_all = lut[jnp.clip(ref_base[None, None, :] + planes, 0, top)]
+        return sig_all, sign_all, ref_all        # (P,9,N) (P,4,N) (P,1,N)
+
+    def _loop(self, te, to, ac, msb, tables, n_planes: int, encode: bool,
+              streams=None):
+        prec = self.params.mult_precision
+        sig_all, sign_all, ref_all = tables
+        n = te.shape[-1]
+
+        def body(i, st):
+            te, to, ac = st
+            plane = n_planes - 1 - i // (2 * _ROWS)
+            within = i % (2 * _ROWS)
+            is_spp = within < _ROWS
+            r = within % _ROWS
+            shift, pmask, flag = _plane_consts(plane)
+            sig9 = jax.lax.dynamic_slice(sig_all, (plane, 0, 0),
+                                         (1, 9, n))[0]
+            sign4 = jax.lax.dynamic_slice(sign_all, (plane, 0, 0),
+                                          (1, 4, n))[0]
+            ref1 = jax.lax.dynamic_slice(ref_all, (plane, 0, 0), (1, 1, n))[0]
+            probs_r = jnp.broadcast_to(ref1, (_LANES, n))
+            act_cb = plane <= msb
+            for phase in (0, 1):
+                te3 = jax.lax.dynamic_slice(te, (r, 0, 0), (3, _LANES + 1, n))
+                to3 = jax.lax.dynamic_slice(to, (r, 0, 0), (3, _LANES + 1, n))
+                cur, nb = _neighbors(te3, to3, phase)
+                # SPP side (masked off when is_spp is False)
+                insig = (cur >> 31) == 0
+                a_sig = insig & act_cb[None, :] & is_spp
+                ctx = _sig_ctx(nb)
+                probs = _select_prob(sig9, ctx)
+                sctx = _sign_ctx(nb["up"], nb["lf"], nb["rt"], nb["bt"])
+                sprobs = _select_prob(sign4, sctx >> 1)
+                # MRP side (masked off when is_spp is True)
+                refine = ((cur >> 29) & 1) == 1
+                a_ref = refine & act_cb[None, :] & ~is_spp
+                eligible = ~refine & ((cur >> 31) == 1) & act_cb[None, :] \
+                    & ~is_spp
+                if encode:
+                    bits = ((cur >> shift) & 1).astype(jnp.int32)
+                    ac = _ac_encode(ac, a_sig, bits, probs, prec)
+                    newly = a_sig & (bits == 1)
+                    ssym = jnp.where((cur & 1).astype(jnp.int32) == (sctx & 1),
+                                     0, 1)
+                    ac = _ac_encode(ac, newly, ssym, sprobs, prec)
+                    upd = jnp.where(newly, cur | flag, cur)
+                    ac = _ac_encode(ac, a_ref, bits, probs_r, prec)
+                else:
+                    ac, bits = _ac_decode(ac, streams, a_sig, probs, prec)
+                    newly = a_sig & (bits == 1)
+                    ac, ssym = _ac_decode(ac, streams, newly, sprobs, prec)
+                    sbit = jnp.where((ssym & 1) == (sctx & 1), np.uint32(0),
+                                     np.uint32(1))
+                    upd = jnp.where(newly, cur | pmask | flag | sbit, cur)
+                    ac, sym = _ac_decode(ac, streams, a_ref, probs_r, prec)
+                    patt = _shift_left((sym.astype(_U) << 1) + 1, plane)
+                    upd = jnp.where(a_ref, (upd & ~pmask) | (pmask & patt),
+                                    upd)
+                upd = jnp.where(eligible, upd | _REF_BIT, upd)
+                if phase == 0:
+                    te = _write_cells(te, upd, r, 0)
+                else:
+                    to = _write_cells(to, upd, r, 1)
+            return te, to, ac
+
+        return jax.lax.fori_loop(0, 2 * n_planes * _ROWS, body, (te, to, ac))
+
+    def _encode_impl(self, blocks, lut, meta, n_planes: int):
+        n = blocks.shape[0]
+        mag = jnp.abs(blocks).astype(_U)
+        sign = (blocks < 0).astype(_U)
+        words = (mag << 1) | sign
+        msb_or = _or_reduce_rows((words >> 1).reshape(n, -1))
+        msb = 31 - jax.lax.clz(msb_or).astype(jnp.int32)
+        empty = msb_or == 0
+        te, to = _to_grids(words)
+        out = jnp.full((n, spec.CBLOCK_SIZE), -1, jnp.int32)
+        z = jnp.zeros((_LANES, n), jnp.int32)
+        ac = (z, z, z, jnp.zeros(n, jnp.int32), out)
+        tables = self._tables(lut, meta, n_planes)
+        te, to, ac = self._loop(te, to, ac, msb, tables, n_planes, True)
+        low, size, resv, counter, out = ac
+        out = _row_scatter(out, resv, low)
+        out = out.at[:, 0].set(jnp.where(empty, 32, msb))
+        sizes = jnp.where(empty, 1, counter + 1)
+        raw = _raw_layout(_from_grids(te, to))
+        expand = (sizes == spec.CBLOCK_SIZE)[:, None]
+        out = jnp.where(expand, raw, out)
+        return out, sizes
+
+    def _decode_impl(self, streams, sizes, lut, meta, n_planes: int):
+        n = streams.shape[0]
+        msb_word = streams[:, 0]
+        is_raw = sizes == spec.CBLOCK_SIZE
+        skip = (msb_word == 32) | is_raw
+        msb = jnp.where(skip, -1, msb_word)
+        init = jnp.zeros((n, _ROWS, _ROWS), _U)
+        te, to = _to_grids(init)
+        z = jnp.zeros((_LANES, n), jnp.int32)
+        ac = (z, z, z, jnp.zeros(n, jnp.int32))
+        tables = self._tables(lut, meta, n_planes)
+        te, to, _ = self._loop(te, to, ac, msb, tables, n_planes, False,
+                               streams=streams)
+        words = _from_grids(te, to)
+        words = jnp.where(is_raw[:, None, None], _raw_unlayout(streams), words)
+        out = ((words & spec.MAGNITUDE_MASK) >> 1).astype(jnp.int32)
+        return jnp.where((words & 1) == 1, -out, out)
+
+    # -- public API (mirrors StagedBPC) -------------------------------------
+
+    def encode(self, blocks, lut, meta, n_planes: int):
+        return self._encode(blocks, lut, meta[:3], n_planes)
+
+    def decode(self, streams, sizes, lut, meta, n_planes: int):
+        return self._decode(streams, sizes, lut, meta[:3], n_planes)
+
+
+_fused_cache: dict = {}
+
+
+def get_fused(params: LUTParams, wavelet_levels: int) -> FusedBPC:
+    key = (params, wavelet_levels)
+    if key not in _fused_cache:
+        _fused_cache[key] = FusedBPC(params, wavelet_levels)
+    return _fused_cache[key]
+
+
+# --------------------------------------------------------------------------
 # Convenience wrappers: metadata preparation + jitted call
 # --------------------------------------------------------------------------
 
@@ -952,6 +1121,8 @@ class StagedBPC:
         self._init_enc = jax.jit(self._init_enc_impl)
         self._finish_enc = jax.jit(self._finish_enc_impl,
                                    donate_argnums=tuple(range(7)))
+        self._finish_enc_packed = jax.jit(self._finish_enc_packed_impl,
+                                          static_argnums=(9,))
         self._init_dec = jax.jit(self._init_dec_impl)
         self._finish_dec = jax.jit(self._finish_dec_impl,
                                    donate_argnums=(0, 1))
@@ -1004,6 +1175,54 @@ class StagedBPC:
         expand = (sizes == spec.CBLOCK_SIZE)[:, None]
         out = jnp.where(expand, raw, out)
         return out, sizes
+
+    def _finish_enc_packed_impl(self, te, to, low, size, resv, counter, out,
+                                msb, empty, bucket: int):
+        """Finish + device-side dense pack (BitStreamBuilder on device).
+
+        The reference packs with CUB prefix sum + binary-search kernels
+        (BitStreamBuilder.cu:106-137,290-323); on TPU the same relocation is
+        one cumsum + one flat gather. Packing BEFORE download matters under
+        the axon tunnel: the dense payload is ~the compressed size, vs the
+        (N, 4096) buffer's fixed 8 KB/codeblock — a 3-10x smaller D2H
+        transfer. `bucket` is a static payload capacity; overflow (total
+        payload > bucket) is detected host-side from `sizes` and falls back
+        to downloading the full streams buffer, which is also returned.
+        """
+        out, sizes = self._finish_enc_impl(te, to, low, size, resv, counter,
+                                           out, msb, empty)
+        n = out.shape[0]
+        counts = sizes - 1
+        offs = jnp.cumsum(counts) - counts
+        src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
+                         total_repeat_length=bucket)
+        within = jnp.arange(bucket, dtype=jnp.int32) - offs[src] + 1
+        flat = out.reshape(-1)
+        idx = jnp.clip(src * spec.CBLOCK_SIZE + within, 0, flat.shape[0] - 1)
+        dense = flat[idx].astype(jnp.uint16)
+        # the full (N, 4096) buffer is NOT returned: freeing it right after
+        # the program keeps the defer window's HBM footprint at ~the
+        # compressed size; a bucket overflow re-encodes with a larger bucket
+        return sizes, out[:, 0], dense
+
+    def encode_packed(self, blocks, lut, meta, n_planes: int, bucket: int):
+        """Encode + device pack: (sizes, msb_words, dense_payload)."""
+        state, msb, consec, empty, g = self._init_enc(blocks, *meta)
+        for p in range(n_planes - 1, -1, -1):
+            if self.coding_passes == 3:
+                state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
+                                      g["sign_grid0"], lut, p)
+                state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
+                state = self._cp_enc(*state, msb, consec, g["cp_sig_grid0"],
+                                     g["cp_sign_grid0"], lut, p)
+            else:
+                state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
+                                      g["sign_grid0"], lut, p)
+                state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
+        if self.has_k and self.coding_passes == 2:
+            raise NotImplementedError(
+                "staged path does not cover k > 0; use encode_blocks")
+        return self._finish_enc_packed(*state, msb, empty, bucket)
 
     def _init_dec_impl(self, streams, sizes, ref_base, sig_base, sign_base,
                        cp_sig_base, cp_sign_base, k_over_l2):

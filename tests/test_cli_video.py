@@ -79,3 +79,78 @@ def test_video_roundtrip_rgb(tmp_path):
     for i, frame in enumerate(planes):
         for c, p in enumerate(frame):
             assert np.array_equal(read_raw_frame(dec, 64, 64, i * 3 + c), p)
+
+
+def test_batched_video_streams_match_perframe(tmp_path):
+    """The batched encoder must emit the same file bytes as the per-frame
+    engine (frame batching changes dispatch shape, not the codestream)."""
+    rng = np.random.default_rng(3)
+    frames = [make_image(rng, 64, 128) for _ in range(5)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=128, height=64, wavelet_levels=1, frames=5)
+    lut = neutral_lut(PARAMS, 1, 2)
+    enc_b = str(tmp_path / "b.enc")
+    enc_p = str(tmp_path / "p.enc")
+    st = encode_video(raw, enc_b, cfg, [lut], PARAMS, frames=5, batch=2)
+    assert st.batches == 3          # 2+2+1(padded tail)
+    encode_video(raw, enc_p, cfg, [lut], PARAMS, frames=5, batch=1)
+    with open(enc_b, "rb") as f:
+        got = f.read()
+    with open(enc_p, "rb") as f:
+        want = f.read()
+    assert got == want
+
+
+def test_batched_video_overflow_retry(tmp_path):
+    """A first frame much tamer than later frames undercuts the video-wide
+    bitplane bound; the writer must detect it (check_planes_bound) and
+    re-encode with the corrected bound — round trip stays bit-exact."""
+    rng = np.random.default_rng(4)
+    tame = np.full((64, 64), 128, np.uint8)          # near-zero coefficients
+    wild = (rng.integers(0, 2, size=(64, 64)) * 255).astype(np.uint8)
+    frames = [tame, tame, wild, wild]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=64, height=64, wavelet_levels=1, frames=4)
+    lut = neutral_lut(PARAMS, 1, 2)
+    enc = str(tmp_path / "v.enc")
+    dec = str(tmp_path / "v_dec.raw")
+    import picsong_tpu.engine.video as video_mod
+    orig = video_mod.host_plane_bound
+    # force an undercut bound (margin 0 from the flat first frame)
+    video_mod.host_plane_bound = (
+        lambda cfg, px, aw, ah, extra_margin=0: orig(cfg, px, aw, ah, 0))
+    try:
+        st = encode_video(raw, enc, cfg, [lut], PARAMS, frames=4, batch=2)
+    finally:
+        video_mod.host_plane_bound = orig
+    assert st.n_planes >= 8          # retry raised the bound
+    decode_video(enc, dec, cfg, [lut], PARAMS, batch=2)
+    for i, fr in enumerate(frames):
+        assert np.array_equal(read_raw_frame(dec, 64, 64, i), fr)
+
+
+def test_batched_video_lossy(tmp_path):
+    rng = np.random.default_rng(5)
+    frames = [make_image(rng, 64, 64) for _ in range(3)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=64, height=64, wavelet_levels=2, frames=3,
+                      is_lossy=True, qs=1.0)
+    lut = neutral_lut(PARAMS, 2, 2)
+    enc = str(tmp_path / "v.enc")
+    dec = str(tmp_path / "v_dec.raw")
+    encode_video(raw, enc, cfg, [lut], PARAMS, frames=3, batch=2)
+    decode_video(enc, dec, cfg, [lut], PARAMS, batch=2)
+    for i, fr in enumerate(frames):
+        out = read_raw_frame(dec, 64, 64, i)
+        err = out.astype(np.float64) - fr.astype(np.float64)
+        psnr = 10 * np.log10(255.0 ** 2 / max(float(np.mean(err * err)), 1e-12))
+        assert psnr > 40.0, f"frame {i}: PSNR {psnr:.2f}"

@@ -1,0 +1,106 @@
+"""Multi-host frame striping: slab partition, rank-ordered merge equals the
+single-host byte stream, scaling-efficiency accounting (BASELINE config 5;
+hosts simulated sequentially in one process — the data plane has no
+cross-host dependency, so sequential simulation is exact)."""
+
+import numpy as np
+
+from picsong_tpu.core.header import CodecConfig
+from picsong_tpu.core.lut import LUTParams, neutral_lut
+from picsong_tpu.dist.multihost import (ScalingReport, encode_video_part,
+                                        frame_slab, init_distributed,
+                                        merge_parts)
+from picsong_tpu.engine.video import decode_video, encode_video
+
+PARAMS = LUTParams()
+
+
+def make_image(rng, h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    base = (96 + 64 * np.sin(x / 9.0) * np.cos(y / 13.0)
+            + rng.normal(0, 8, size=(h, w)))
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def test_frame_slab_partition():
+    for frames, hosts in ((10, 3), (8, 8), (5, 8), (2090, 4), (7, 1)):
+        ranges = [frame_slab(frames, hosts, h) for h in range(hosts)]
+        covered = []
+        for start, stop in ranges:
+            covered.extend(range(start, stop))
+        assert covered == list(range(frames)), (frames, hosts, ranges)
+        lens = [stop - start for start, stop in ranges]
+        assert max(lens) - min(lens) <= 1   # balanced slabs
+
+
+def test_init_distributed_single_process():
+    assert init_distributed() == (0, 1)
+
+
+def test_multihost_merge_matches_single_host(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = [make_image(rng, 64, 128) for _ in range(7)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=128, height=64, wavelet_levels=1, frames=7)
+    lut = neutral_lut(PARAMS, 1, 2)
+
+    single = str(tmp_path / "single.enc")
+    encode_video(raw, single, cfg, [lut], PARAMS, frames=7, batch=2)
+
+    merged = str(tmp_path / "merged.enc")
+    hosts = 3
+    for h in range(hosts):      # sequential simulation of 3 host processes
+        encode_video_part(raw, merged, cfg, [lut], PARAMS, frames=7,
+                          num_hosts=hosts, host_id=h, batch=2)
+    merge_parts(merged, hosts)
+
+    with open(single, "rb") as f:
+        want = f.read()
+    with open(merged, "rb") as f:
+        got = f.read()
+    assert got == want, "rank-ordered merge differs from single-host stream"
+    with open(single + "_SIZE") as f:
+        want_sizes = f.read()
+    with open(merged + "_SIZE") as f:
+        got_sizes = f.read()
+    assert got_sizes == want_sizes
+
+    dec = str(tmp_path / "dec.raw")
+    decode_video(merged, dec, cfg, [lut], PARAMS, batch=2)
+    from picsong_tpu.core.image_io import read_raw_frame
+    for i, fr in enumerate(frames):
+        assert np.array_equal(read_raw_frame(dec, 128, 64, i), fr)
+
+
+def test_multihost_more_hosts_than_frames(tmp_path):
+    rng = np.random.default_rng(1)
+    frames = [make_image(rng, 64, 64) for _ in range(2)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=64, height=64, wavelet_levels=1, frames=2)
+    lut = neutral_lut(PARAMS, 1, 2)
+    merged = str(tmp_path / "m.enc")
+    for h in range(4):
+        encode_video_part(raw, merged, cfg, [lut], PARAMS, frames=2,
+                          num_hosts=4, host_id=h, batch=2)
+    merge_parts(merged, 4)
+    dec = str(tmp_path / "dec.raw")
+    decode_video(merged, dec, cfg, [lut], PARAMS, batch=2)
+    from picsong_tpu.core.image_io import read_raw_frame
+    for i, fr in enumerate(frames):
+        assert np.array_equal(read_raw_frame(dec, 64, 64, i), fr)
+
+
+def test_scaling_report():
+    rep = ScalingReport(frames=100, num_hosts=4,
+                        host_wall_s=[2.5, 2.6, 2.4, 2.6],
+                        single_host_wall_s=10.0)
+    assert abs(rep.aggregate_fps - 100 / 2.6) < 1e-9
+    assert abs(rep.efficiency - 10.0 / (4 * 2.6)) < 1e-9
+    d = rep.as_dict()
+    assert d["efficiency"] > 0.8    # the BASELINE-5 pass criterion shape
