@@ -22,8 +22,28 @@ import numpy as np
 # PGM P5
 # --------------------------------------------------------------------------
 
+def sample_dtype(bps: int = 8, endianess: int = 0,
+                 is_signed: bool = False) -> np.dtype:
+    """Sample dtype from the header's bps/endianess/signed fields.
+
+    The reference reads any sample type through the templated
+    IOManager<T, Y> (IO/IOManager.ipp:72-138) with the type picked from
+    the same three header fields (BitStreamBuilder.cpp:70-84). Here:
+    bps <= 8 -> (u)int8; bps 9..16 -> (u)int16 with endianess 0 = little,
+    1 = big."""
+    if bps <= 8:
+        return np.dtype(np.int8 if is_signed else np.uint8)
+    if bps <= 16:
+        return np.dtype(("<" if endianess == 0 else ">")
+                        + ("i2" if is_signed else "u2"))
+    raise ValueError(f"unsupported bits per sample: {bps}")
+
+
 def read_pgm(path: str) -> np.ndarray:
-    """Read a binary PGM (P5). Returns uint8 array (height, width)."""
+    """Read a binary PGM (P5).
+
+    Returns uint8 (maxval <= 255) or uint16 (16-bit PGM; samples are
+    big-endian per the Netpbm spec)."""
     with open(path, "rb") as f:
         data = f.read()
     if not data.startswith(b"P5"):
@@ -44,15 +64,21 @@ def read_pgm(path: str) -> np.ndarray:
         tokens.append(data[start:pos])
     pos += 1  # single whitespace after maxval
     width, height, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
-    if maxval > 255:
-        raise ValueError(f"{path}: only 8-bit PGM supported (maxval {maxval})")
-    pixels = np.frombuffer(data, dtype=np.uint8, count=width * height, offset=pos)
-    return pixels.reshape(height, width).copy()
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    pixels = np.frombuffer(data, dtype=dtype, count=width * height, offset=pos)
+    out = pixels.reshape(height, width)
+    return out.astype(np.uint16) if maxval > 255 else out.copy()
 
 
 def write_pgm(path: str, image: np.ndarray, bit_depth: int = 8) -> None:
-    """Write a binary PGM (P5) with maxval 2**bit_depth - 1."""
-    image = np.asarray(image, dtype=np.uint8)
+    """Write a binary PGM (P5) with maxval 2**bit_depth - 1.
+
+    16-bit images are written big-endian per the Netpbm spec."""
+    image = np.asarray(image)
+    if bit_depth > 8:
+        image = image.astype(">u2")
+    else:
+        image = image.astype(np.uint8)
     height, width = image.shape
     header = f"P5\n{width} {height}\n{(1 << bit_depth) - 1}\n".encode()
     with open(path, "wb") as f:
@@ -79,26 +105,33 @@ def mirror_pad(plane: np.ndarray, adapted_width: int, adapted_height: int) -> np
     )
 
 
-def read_raw_frame(path: str, width: int, height: int, frame_index: int) -> np.ndarray:
+def read_raw_frame(path: str, width: int, height: int, frame_index: int,
+                   dtype=np.uint8) -> np.ndarray:
     """Read one grayscale frame / one component plane from a planar RAW file.
 
-    Plane `frame_index` is at byte offset frame_index * width * height
-    (loadFrameC, IOManager.ipp:118-138). For an RGB image the three
-    components are planes 0, 1, 2 of the same file.
-    """
-    size = width * height
+    Plane `frame_index` is at byte offset frame_index * width * height *
+    itemsize (loadFrameC, IOManager.ipp:118-138). For an RGB image the
+    three components are planes 0, 1, 2 of the same file. `dtype` comes
+    from sample_dtype(bps, endianess, is_signed); samples are returned in
+    native byte order."""
+    dtype = np.dtype(dtype)
+    size = width * height * dtype.itemsize
     with open(path, "rb") as f:
         f.seek(size * frame_index)
         data = f.read(size)
     if len(data) != size:
         raise ValueError(f"{path}: frame {frame_index} truncated")
-    return np.frombuffer(data, dtype=np.uint8).reshape(height, width).copy()
+    out = np.frombuffer(data, dtype=dtype).reshape(height, width)
+    return out.astype(dtype.newbyteorder("="), copy=True)
 
 
-def append_raw_frame(path: str, plane: np.ndarray) -> None:
-    """Append one uint8 plane to a planar RAW file."""
+def append_raw_frame(path: str, plane: np.ndarray, dtype=np.uint8) -> None:
+    """Append one plane to a planar RAW file in the sample dtype.
+
+    Note astype(copy=False) treats byte-order-only changes as equivalent
+    and would skip the swap, so the conversion always copies."""
     with open(path, "ab") as f:
-        f.write(np.asarray(plane, dtype=np.uint8).tobytes())
+        f.write(np.asarray(plane).astype(np.dtype(dtype)).tobytes())
 
 
 # --------------------------------------------------------------------------

@@ -46,6 +46,7 @@ from ..core.header import CodecConfig
 from ..core.lut import LUTParams
 from ..entropy import bpc_jax
 from ..transform.dwt import dwt_forward, dwt_reverse
+from .pipeline import _jnp_sample_dtype, _sample_range
 
 
 class BatchCodec:
@@ -148,11 +149,13 @@ class BatchCodec:
         blocks = blocks_flat.reshape(self.batch, self.ncb,
                                      spec.CBLOCK_LENGTH, spec.CBLOCK_WIDTH)
         planes = jax.vmap(self._idwt_one)(blocks)
+        mn, mx = _sample_range(cfg)
+        out_dtype = _jnp_sample_dtype(cfg)
         if cfg.is_lossy:
             vals = jnp.rint(planes + np.float32(self._offset)
                             + np.float32(0.01))
-            return jnp.clip(vals, 0, 255).astype(jnp.uint8)
-        return jnp.clip(planes + self._offset, 0, 255).astype(jnp.uint8)
+            return jnp.clip(vals, mn, mx).astype(out_dtype)
+        return jnp.clip(planes + self._offset, mn, mx).astype(out_dtype)
 
     def _finish_rgb_impl(self, c0_flat, c1_flat, c2_flat):
         cfg = self.cfg
@@ -172,7 +175,9 @@ class BatchCodec:
             g = y - ((u + v) >> 2)
             r = v + g
             b = u + g
-        return jnp.stack([jnp.clip(c + off, 0, 255).astype(jnp.uint8)
+        mn, mx = _sample_range(cfg)
+        out_dtype = _jnp_sample_dtype(cfg)
+        return jnp.stack([jnp.clip(c + off, mn, mx).astype(out_dtype)
                           for c in (r, g, b)], axis=1)
 
     # -- fused one-dispatch programs ----------------------------------------

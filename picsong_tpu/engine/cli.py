@@ -26,7 +26,8 @@ from ..core import spec
 from ..core.header import CodecConfig, unpack_header
 from ..core.image_io import (append_raw_frame, read_codestream,
                              read_header_shorts, read_pgm, read_raw_frame,
-                             read_sizes, write_codestream, write_pgm)
+                             read_sizes, sample_dtype, write_codestream,
+                             write_pgm)
 from ..core.lut import LUTParams, load_luts, neutral_lut
 from .pipeline import TPUCodec
 from .video import decode_video, encode_video
@@ -51,6 +52,7 @@ HELP = """PICSONG-TPU codec. Options (reference-compatible):
   -endianess [0|1]   sample endianness
   -signedOrUnsigned [0|1]
   -numberOfStreams N video frame batch size (frames/dispatch)
+  -sharded N         shard single-image coding over N devices (0 = off)
   -LUTFolder PATH    LUT folder (or 'neutral' / 'trained')
   -k K               complexity-scalability factor, 0..65.535
 """
@@ -87,13 +89,24 @@ def _load_luts(folder: str, wavelet_levels: int, coding_passes: int,
     return load_luts(folder, wavelet_levels, coding_passes, k_factor)
 
 
+def _make_image_codec(cfg: CodecConfig, luts, params, opts):
+    """Single-device TPUCodec, or a row-sharded ShardedCodec over an
+    N-device mesh when -sharded N > 1 (BASELINE configs 3-5 scaling)."""
+    n = int(opts.get("sharded", 0))
+    if n > 1:
+        from ..dist.sharded import ShardedCodec, make_mesh
+        return ShardedCodec(cfg, luts, params, make_mesh(n))
+    return TPUCodec(cfg, luts, params)
+
+
 def _read_encode_input(path: str, cfg: CodecConfig):
     if path.endswith(".pgm"):
         return read_pgm(path)
+    dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed)
     if cfg.is_rgb:
-        return [read_raw_frame(path, cfg.width, cfg.height, c)
+        return [read_raw_frame(path, cfg.width, cfg.height, c, dtype)
                 for c in range(3)]
-    return read_raw_frame(path, cfg.width, cfg.height, 0)
+    return read_raw_frame(path, cfg.width, cfg.height, 0, dtype)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -158,7 +171,7 @@ def main(argv: list[str] | None = None) -> int:
                   f"{stats.writer_busy_s:.3f}s)")
         else:
             pixels = _read_encode_input(input_file, cfg)
-            codec = TPUCodec(cfg, luts, params)
+            codec = _make_image_codec(cfg, luts, params, opts)
             streams = codec.encode(pixels)
             for j, s in enumerate(streams):
                 write_codestream(output_file, s, first=(j == 0))
@@ -185,19 +198,20 @@ def main(argv: list[str] | None = None) -> int:
                 comp_streams = [read_codestream(input_file, int(offsets[j]),
                                                 int(sizes[j]))
                                 for j in range(len(sizes))]
-            codec = TPUCodec(cfg, luts, params)
+            codec = _make_image_codec(cfg, luts, params, opts)
             out = codec.decode(comp_streams)
+            dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed)
             if cfg.is_rgb:
                 if os.path.exists(output_file):
                     os.remove(output_file)
                 for p in out:
-                    append_raw_frame(output_file, p)
+                    append_raw_frame(output_file, p, dtype)
             elif output_file.endswith(".pgm"):
                 write_pgm(output_file, out, cfg.bit_depth)
             else:
                 if os.path.exists(output_file):
                     os.remove(output_file)
-                append_raw_frame(output_file, out)
+                append_raw_frame(output_file, out, dtype)
     else:
         print("Incorrect parameters. Please choose valid values.")
         return 1

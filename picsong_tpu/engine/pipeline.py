@@ -31,7 +31,7 @@ from ..core import spec
 from ..core.geometry import (codeblock_bands, codeblocks_to_plane,
                              plane_to_codeblocks)
 from ..core.header import CodecConfig, pack_header
-from ..core.image_io import mirror_pad
+from ..core.image_io import mirror_pad, sample_dtype
 from ..core.lut import LUTParams
 from ..entropy import bpc_jax, bpc_pallas
 from ..obs.trace import stage
@@ -69,6 +69,21 @@ def _decoder_mode() -> str:
     return _bpc_mode("PICSONG_DECODER")
 
 
+def _sample_range(cfg: CodecConfig) -> tuple[int, int]:
+    """Reconstruction clamp range from bit depth / signedness
+    (removeOffsetAndApplyMaxMin generalizes 0..255 to the sample type,
+    DecodingEngine.cu:706-729 + templated writers IOManager.ipp:214-261)."""
+    if cfg.is_signed:
+        return -(1 << (cfg.bit_depth - 1)), (1 << (cfg.bit_depth - 1)) - 1
+    return 0, (1 << cfg.bit_depth) - 1
+
+
+def _jnp_sample_dtype(cfg: CodecConfig):
+    if cfg.bps <= 8:
+        return jnp.int8 if cfg.is_signed else jnp.uint8
+    return jnp.int16 if cfg.is_signed else jnp.uint16
+
+
 def _encoder_mode() -> str:
     return _bpc_mode("PICSONG_ENCODER")
 
@@ -82,6 +97,8 @@ class TPUCodec:
         self.params = params
         self.luts = [jnp.asarray(l, jnp.int32) for l in luts]
         self.aw, self.ah = spec.adapted_size(cfg.width, cfg.height)
+        self.dtype = sample_dtype(cfg.bps, cfg.endianess,
+                                  cfg.is_signed).newbyteorder("=")
         levels, subbands = codeblock_bands(self.aw, self.ah, cfg.wavelet_levels)
         self.ncb = len(levels)
         meta = bpc_jax._meta_args(levels, subbands, params, cfg.wavelet_levels,
@@ -222,10 +239,12 @@ class TPUCodec:
     def _finish_gray_impl(self, plane):
         """Undo DC shift and clamp (removeOffsetAndApplyMaxMin,
         DecodingEngine.cu:706-729)."""
+        mn, mx = _sample_range(self.cfg)
+        out_dtype = _jnp_sample_dtype(self.cfg)
         if self.cfg.is_lossy:
             vals = jnp.rint(plane + np.float32(self._offset) + np.float32(0.01))
-            return jnp.clip(vals, 0, 255).astype(jnp.uint8)
-        return jnp.clip(plane + self._offset, 0, 255).astype(jnp.uint8)
+            return jnp.clip(vals, mn, mx).astype(out_dtype)
+        return jnp.clip(plane + self._offset, mn, mx).astype(out_dtype)
 
     def _finish_rgb_impl(self, c0, c1, c2):
         """Inverse color transform + clamp (DecodingEngine.cu:599-650)."""
@@ -242,7 +261,9 @@ class TPUCodec:
             g = y - ((u + v) >> 2)
             r = v + g
             b = u + g
-        return tuple(jnp.clip(c + off, 0, 255).astype(jnp.uint8)
+        mn, mx = _sample_range(self.cfg)
+        out_dtype = _jnp_sample_dtype(self.cfg)
+        return tuple(jnp.clip(c + off, mn, mx).astype(out_dtype)
                      for c in (r, g, b))
 
     # -- host-facing API ---------------------------------------------------
@@ -266,13 +287,14 @@ class TPUCodec:
         cfg = self.cfg
         header = pack_header(cfg)
         if cfg.is_rgb:
-            planes = [jnp.asarray(mirror_pad(np.asarray(p, np.uint8),
-                                             self.aw, self.ah))
-                      for p in pixels]
+            planes = [jnp.asarray(mirror_pad(
+                np.asarray(p).astype(self.dtype, copy=False),
+                self.aw, self.ah)) for p in pixels]
             comps = self._prep_rgb(*planes)
         else:
-            plane = jnp.asarray(mirror_pad(np.asarray(pixels, np.uint8),
-                                           self.aw, self.ah))
+            plane = jnp.asarray(mirror_pad(
+                np.asarray(pixels).astype(self.dtype, copy=False),
+                self.aw, self.ah))
             comps = [self._prep_gray(plane)]
         # enqueue every component's device work before the first download:
         # the first device->host read permanently degrades dispatch under
@@ -323,10 +345,11 @@ def host_plane_bound(cfg: CodecConfig, pixels, aw: int, ah: int,
     video path, which derives one bound from the first frame for the whole
     sequence and relies on check_planes_bound for pathological content."""
     offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
+    dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed).newbyteorder("=")
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         if cfg.is_rgb:
-            planes = [jnp.asarray(mirror_pad(np.asarray(p, np.uint8),
+            planes = [jnp.asarray(mirror_pad(np.asarray(p).astype(dtype),
                                              aw, ah).astype(np.int32)
                                   - offset) for p in pixels]
             if cfg.is_lossy:
@@ -338,7 +361,7 @@ def host_plane_bound(cfg: CodecConfig, pixels, aw: int, ah: int,
                 ri, gi, bi = planes
                 comps = [(ri + 2 * gi + bi) >> 2, bi - gi, ri - gi]
         else:
-            arr = jnp.asarray(mirror_pad(np.asarray(pixels, np.uint8),
+            arr = jnp.asarray(mirror_pad(np.asarray(pixels).astype(dtype),
                                          aw, ah).astype(np.int32) - offset)
             comps = [arr.astype(jnp.float32) if cfg.is_lossy else arr]
         max_mag = 0

@@ -54,7 +54,8 @@ import numpy as np
 from ..core import spec
 from ..core.header import CodecConfig, pack_header
 from ..core.image_io import (append_raw_frame, mirror_pad, read_codestream,
-                             read_raw_frame, read_sizes, write_codestream)
+                             read_raw_frame, read_sizes, sample_dtype,
+                             write_codestream)
 from ..entropy import bpc_jax
 from .batch import BatchCodec
 from .pipeline import TPUCodec, host_plane_bound, pack_streams, unpack_streams
@@ -174,14 +175,18 @@ def encode_video(input_path: str, output_path: str, cfg: CodecConfig,
         per_batch = batch * codec.ncb * spec.CBLOCK_SIZE * 2 * n_comp
         max_inflight = max(1, int(2e9) // per_batch)
 
+    dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed)
+
     def read_frame(i):
         i = min(i, frames - 1) + frame_offset   # tail: repeat last frame
         if cfg.is_rgb:
             return np.stack([
                 mirror_pad(read_raw_frame(input_path, cfg.width, cfg.height,
-                                          i * 3 + c), codec.aw, codec.ah)
+                                          i * 3 + c, dtype),
+                           codec.aw, codec.ah)
                 for c in range(3)])
-        return mirror_pad(read_raw_frame(input_path, cfg.width, cfg.height, i),
+        return mirror_pad(read_raw_frame(input_path, cfg.width, cfg.height, i,
+                                         dtype),
                           codec.aw, codec.ah)
 
     def fetch_batch(bi):
@@ -333,12 +338,15 @@ def _encode_video_perframe(input_path, output_path, cfg, luts, params,
     t0 = time.perf_counter()
     n_planes = 3 if cfg.is_rgb else 1
 
+    dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed)
+
     def fetch(i):
         i = i + frame_offset
         if cfg.is_rgb:
             return [read_raw_frame(input_path, cfg.width, cfg.height,
-                                   i * n_planes + c) for c in range(3)]
-        return read_raw_frame(input_path, cfg.width, cfg.height, i)
+                                   i * n_planes + c, dtype)
+                    for c in range(3)]
+        return read_raw_frame(input_path, cfg.width, cfg.height, i, dtype)
 
     reader = _Prefetcher(fetch, frames, prefetch_depth)
 
@@ -416,16 +424,19 @@ def decode_video(input_path: str, output_path: str, cfg: CodecConfig,
     if os.path.exists(output_path):
         os.remove(output_path)
 
+    dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed)
+
     def write_host_batch(bi, planes):
         nreal = min(n_frames - bi * batch, batch)
         for f in range(nreal):
             if cfg.is_rgb:
                 for c in range(3):
                     append_raw_frame(output_path,
-                                     planes[f, c, :cfg.height, :cfg.width])
+                                     planes[f, c, :cfg.height, :cfg.width],
+                                     dtype)
             else:
                 append_raw_frame(output_path,
-                                 planes[f, :cfg.height, :cfg.width])
+                                 planes[f, :cfg.height, :cfg.width], dtype)
         stats.frames += nreal
         if progress:
             print(f"\rframe {stats.frames}/{n_frames}", end="", flush=True)
@@ -483,12 +494,14 @@ def _decode_video_perframe(input_path, output_path, cfg, luts, params,
     if os.path.exists(output_path):
         os.remove(output_path)
 
+    dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed)
+
     def write_frame(i, out):
         if cfg.is_rgb:
             for p in out:
-                append_raw_frame(output_path, p)
+                append_raw_frame(output_path, p, dtype)
         else:
-            append_raw_frame(output_path, out)
+            append_raw_frame(output_path, out, dtype)
         stats.frames += 1
         if progress:
             print(f"\rframe {stats.frames}/{n_frames}", end="", flush=True)

@@ -208,10 +208,11 @@ def encode_image(pixels: np.ndarray | list[np.ndarray], cfg: CodecConfig,
     offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
     aw, ah = spec.adapted_size(cfg.width, cfg.height)
 
-    from ..core.image_io import mirror_pad
+    from ..core.image_io import mirror_pad, sample_dtype
 
+    dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed).newbyteorder("=")
     if cfg.is_rgb:
-        planes = [mirror_pad(np.asarray(p, dtype=np.uint8), aw, ah)
+        planes = [mirror_pad(np.asarray(p).astype(dtype), aw, ah)
                   for p in pixels]
         r, g, b = (p.astype(np.int32) - offset for p in planes)
         if cfg.is_lossy:
@@ -220,7 +221,7 @@ def encode_image(pixels: np.ndarray | list[np.ndarray], cfg: CodecConfig,
         else:
             comps = list(rct_forward(r, g, b))
     else:
-        plane = mirror_pad(np.asarray(pixels, dtype=np.uint8), aw, ah)
+        plane = mirror_pad(np.asarray(pixels).astype(dtype), aw, ah)
         shifted = plane.astype(np.int32) - offset
         comps = [shifted.astype(np.float32) if cfg.is_lossy else shifted]
 
@@ -238,6 +239,12 @@ def decode_image(component_streams: list[np.ndarray], cfg: CodecConfig,
     aw, ah = spec.adapted_size(cfg.width, cfg.height)
     ncb = spec.num_codeblocks(aw, ah)
     offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
+    from ..core.image_io import sample_dtype
+    dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed).newbyteorder("=")
+    if cfg.is_signed:
+        mn, mx = -(1 << (cfg.bit_depth - 1)), (1 << (cfg.bit_depth - 1)) - 1
+    else:
+        mn, mx = 0, (1 << cfg.bit_depth) - 1
 
     planes = []
     for cs_shorts in component_streams:
@@ -252,7 +259,7 @@ def decode_image(component_streams: list[np.ndarray], cfg: CodecConfig,
             r, g, b = rct_inverse(*[p.astype(np.int32) for p in planes])
         out = []
         for p in (r, g, b):
-            p = np.clip(p.astype(np.int32) + offset, 0, 255).astype(np.uint8)
+            p = np.clip(p.astype(np.int32) + offset, mn, mx).astype(dtype)
             out.append(p[:cfg.height, :cfg.width])
         return out
 
@@ -261,7 +268,7 @@ def decode_image(component_streams: list[np.ndarray], cfg: CodecConfig,
         # removeOffsetAndApplyMaxMinLossy (DecodingEngine.cu:706-715)
         vals = np.rint(plane.astype(np.float32) + np.float32(offset)
                        + np.float32(0.01))
-        plane = np.clip(vals, 0, 255).astype(np.uint8)
+        plane = np.clip(vals, mn, mx).astype(dtype)
     else:
-        plane = np.clip(plane.astype(np.int32) + offset, 0, 255).astype(np.uint8)
+        plane = np.clip(plane.astype(np.int32) + offset, mn, mx).astype(dtype)
     return plane[:cfg.height, :cfg.width]

@@ -154,3 +154,27 @@ def test_batched_video_lossy(tmp_path):
         err = out.astype(np.float64) - fr.astype(np.float64)
         psnr = 10 * np.log10(255.0 ** 2 / max(float(np.mean(err * err)), 1e-12))
         assert psnr > 40.0, f"frame {i}: PSNR {psnr:.2f}"
+
+
+def test_cli_sharded_image_roundtrip(tmp_path):
+    """-sharded N routes single-image coding through ShardedCodec; the
+    file bytes must match the unsharded path."""
+    rng = np.random.default_rng(6)
+    img = make_image(rng, 128, 64)
+    src = str(tmp_path / "in.pgm")
+    write_pgm(src, img)
+    enc1 = str(tmp_path / "a.enc")
+    enc2 = str(tmp_path / "b.enc")
+    dec = str(tmp_path / "out.pgm")
+    base = ["-cd", "0", "-i", src, "-wl", "1", "-cp", "2", "-type", "0",
+            "-video", "0", "-LUTFolder", "neutral"]
+    assert main(base + ["-o", enc1]) == 0
+    assert main(base + ["-o", enc2, "-sharded", "2"]) == 0
+    with open(enc1, "rb") as f:
+        a = f.read()
+    with open(enc2, "rb") as f:
+        b = f.read()
+    assert a == b
+    assert main(["-cd", "1", "-i", enc2, "-o", dec, "-video", "0",
+                 "-LUTFolder", "neutral", "-sharded", "2"]) == 0
+    assert np.array_equal(read_pgm(dec), img)
