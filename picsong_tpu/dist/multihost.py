@@ -118,12 +118,16 @@ def encode_video_multihost(input_path: str, output_path: str,
 
 def merge_parts(output_path: str, num_hosts: int) -> None:
     """Rank-ordered concat of part files + merged _SIZE sidecar (rank 0)."""
+    import shutil
+
     sizes: list[str] = []
     with open(output_path, "wb") as out:
         for h in range(num_hosts):
             part = part_path(output_path, h)
             with open(part, "rb") as f:
-                out.write(f.read())
+                # stream the concat: rank 0's RSS must not scale with the
+                # whole compressed video
+                shutil.copyfileobj(f, out, length=16 * 1024 * 1024)
             with open(part + "_SIZE", "r") as f:
                 tok = f.read().strip()
                 if tok:

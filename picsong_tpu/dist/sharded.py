@@ -150,12 +150,23 @@ class ShardedCodec:
 
     # -- host-facing API (mirrors TPUCodec.encode/decode) --------------------
 
+    @property
+    def _sample_np_dtype(self):
+        """Host sample dtype from bps/endianess/signedness (the templated
+        IOManager<T,Y> generalization, IOManager.ipp:72-138)."""
+        from ..core.image_io import sample_dtype
+        cfg = self.cfg
+        return sample_dtype(cfg.bps, cfg.endianess,
+                            cfg.is_signed).newbyteorder("=")
+
     def _prep_host(self, pixels):
         """Mirror-pad + DC shift + color transform on the host."""
         cfg = self.cfg
         offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
         planes = pixels if cfg.is_rgb else [pixels]
-        padded = [mirror_pad(np.asarray(p, np.uint8), self.aw, self.ah)
+        dt = self._sample_np_dtype
+        padded = [mirror_pad(np.asarray(p).astype(dt, copy=False),
+                             self.aw, self.ah)
                   .astype(np.int32) - offset for p in planes]
         if cfg.is_rgb:
             if cfg.is_lossy:
@@ -195,10 +206,16 @@ class ShardedCodec:
                 n_planes = e.needed
 
     def decode(self, component_streams: list[np.ndarray]):
-        """Packed component codestreams -> uint8 plane(s), cropped."""
+        """Packed component codestreams -> sample-typed plane(s), cropped.
+
+        Clamp range follows the sample type (removeOffsetAndApplyMaxMin
+        generalized, DecodingEngine.cu:706-729), matching TPUCodec."""
         from ..assembly.pack import unpack_streams
+        from ..engine.pipeline import _sample_range
         cfg = self.cfg
         offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
+        mn, mx = _sample_range(cfg)
+        dt = self._sample_np_dtype
         planes = []
         for i, shorts in enumerate(component_streams):
             streams, sizes = unpack_streams(shorts, self.ncb)
@@ -216,108 +233,62 @@ class ShardedCodec:
                 g = y - ((u + v) >> 2)
                 r = v + g
                 b = u + g
-            return [np.clip(c + offset, 0, 255).astype(np.uint8)
+            return [np.clip(c + offset, mn, mx).astype(dt)
                     [:cfg.height, :cfg.width] for c in (r, g, b)]
         plane = planes[0]
         if cfg.is_lossy:
             plane = np.rint(plane + np.float32(offset) + np.float32(0.01))
         else:
             plane = plane + offset
-        return np.clip(plane, 0, 255).astype(np.uint8)[:cfg.height, :cfg.width]
+        return np.clip(plane, mn, mx).astype(dt)[:cfg.height, :cfg.width]
 
 
 class FrameParallelCodec:
-    """Data-parallel video: a frame batch sharded over the mesh."""
+    """Data-parallel video: a frame batch sharded over the mesh.
+
+    Thin wrapper over the mesh-aware BatchCodec (engine/batch.py) — the
+    frame axis is sharded over the mesh and GSPMD partitions the whole
+    staged chain, so this shares the production video kernels (including
+    RGB, high bit depth and the device-side dense pack) instead of
+    carrying a second demo implementation. The static bitplane count comes
+    from a CPU-backend host bound, never a device read (the reference
+    reads MSBs on-device per warp, BPCEngine.cu:1998; under the axon
+    tunnel any blocking D2H permanently degrades dispatch, PERF_NOTES.md).
+    """
 
     def __init__(self, cfg: CodecConfig, luts, params: LUTParams, mesh: Mesh):
+        from ..engine.batch import BatchCodec
         self.cfg = cfg
-        self.params = params
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
-        self.luts = [jnp.asarray(l, jnp.int32) for l in luts]
-        self.aw, self.ah = spec.adapted_size(cfg.width, cfg.height)
-        levels, subbands = codeblock_bands(self.aw, self.ah, cfg.wavelet_levels)
-        self.ncb = len(levels)
-        meta = bpc_jax._meta_args(levels, subbands, params, cfg.wavelet_levels,
-                                  cfg.coding_passes, cfg.k_factor)
-        self._meta = tuple(jnp.asarray(m) for m in meta)
-        self._kw = dict(params=params, wavelet_levels=cfg.wavelet_levels,
-                        coding_passes=cfg.coding_passes,
-                        has_k=cfg.k_factor > 0)
-        self._batch = NamedSharding(mesh, P(self.axis))
-        self._repl = repl = NamedSharding(mesh, P())
-        batch = self._batch
-        self._prep = jax.jit(self._prep_impl, in_shardings=(batch,),
-                             out_shardings=(batch, repl))
-        self._encode_cache = {}
-        self._decode_cache = {}
+        self.batch = int(mesh.devices.size)
+        self._bc = BatchCodec(cfg, luts, params, self.batch, mesh=mesh)
+        self.aw, self.ah = self._bc.aw, self._bc.ah
+        self.ncb = self._bc.ncb
 
-    def _prep_impl(self, frames):
-        cfg = self.cfg
-        offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
-
-        def one(plane):
-            shifted = plane.astype(jnp.int32) - offset
-            if cfg.is_lossy:
-                shifted = shifted.astype(jnp.float32)
-            coeffs = dwt_forward(shifted, cfg.wavelet_levels, cfg.is_lossy,
-                                 cfg.qs)
-            return plane_to_codeblocks(coeffs.astype(jnp.int32))
-
-        blocks = jax.vmap(one)(frames)
-        return blocks, jnp.max(jnp.abs(blocks))
-
-    def _encode_fn(self, n_planes):
-        if n_planes not in self._encode_cache:
-            def impl(blocks, lut):
-                return jax.vmap(
-                    lambda b: bpc_jax.encode_blocks(
-                        b, lut, *self._meta, **self._kw, n_planes=n_planes)
-                )(blocks)
-            self._encode_cache[n_planes] = jax.jit(
-                impl, in_shardings=(self._batch, self._repl),
-                out_shardings=(self._batch, self._batch))
-        return self._encode_cache[n_planes]
-
-    def _decode_fn(self, n_planes):
-        if n_planes not in self._decode_cache:
-            cfg = self.cfg
-            offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
-
-            def frame_decode(streams, sizes, lut):
-                blocks = bpc_jax.decode_blocks(streams, sizes, lut,
-                                               *self._meta, **self._kw,
-                                               n_planes=n_planes)
-                mallat = codeblocks_to_plane(blocks, self.ah, self.aw)
-                plane = dwt_reverse(mallat, cfg.wavelet_levels, cfg.is_lossy,
-                                    cfg.qs)
-                if cfg.is_lossy:
-                    vals = jnp.rint(plane + np.float32(offset)
-                                    + np.float32(0.01))
-                    return jnp.clip(vals, 0, 255).astype(jnp.uint8)
-                return jnp.clip(plane + offset, 0, 255).astype(jnp.uint8)
-
-            def impl(streams, sizes, lut):
-                return jax.vmap(frame_decode, in_axes=(0, 0, None))(
-                    streams, sizes, lut)
-
-            self._decode_cache[n_planes] = jax.jit(
-                impl, in_shardings=(self._batch, self._batch, self._repl),
-                out_shardings=self._batch)
-        return self._decode_cache[n_planes]
-
-    def encode_batch(self, frames_u8: np.ndarray):
-        """(F, H, W) uint8 padded frames -> ((F, ncb, 4096), (F, ncb))."""
-        blocks, max_mag = self._prep(jnp.asarray(frames_u8))
-        n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
-        streams, sizes = self._encode_fn(n_planes)(blocks, self.luts[0])
-        return np.asarray(streams), np.asarray(sizes)
+    def encode_batch(self, frames: np.ndarray):
+        """(F, H, W) padded frames -> ((F, ncb, 4096) int32, (F, ncb))."""
+        from ..engine.pipeline import host_plane_bound
+        frames = np.asarray(frames)
+        n_planes = max(host_plane_bound(self.cfg, f, self.aw, self.ah)
+                       for f in frames)
+        while True:
+            [(streams, sizes)] = self._bc.encode_batch(frames, n_planes)
+            s = np.asarray(streams).astype(np.int32)
+            z = np.asarray(sizes)
+            try:
+                bpc_jax.check_planes_bound(s[:, 0], z, n_planes)
+                break
+            except bpc_jax.PlaneOverflowError as e:
+                n_planes = e.needed
+        return (s.reshape(self.batch, self.ncb, -1),
+                z.reshape(self.batch, self.ncb))
 
     def decode_batch(self, streams, sizes):
         streams = np.asarray(streams)
+        sizes = np.asarray(sizes)
         n_planes = bpc_jax.planes_for_streams(
-            streams[:, :, 0].reshape(-1), np.asarray(sizes).reshape(-1))
-        out = self._decode_fn(n_planes)(jnp.asarray(streams, jnp.int32),
-                                        jnp.asarray(sizes, jnp.int32),
-                                        self.luts[0])
+            streams[:, :, 0].reshape(-1), sizes.reshape(-1))
+        out = self._bc.decode_batch(
+            [(streams.reshape(self.batch * self.ncb, -1),
+              sizes.reshape(-1))], n_planes)
         return np.asarray(out)

@@ -58,12 +58,20 @@ class BatchCodec:
     to the per-frame path in engine/video.py.
     """
 
-    def __init__(self, cfg: CodecConfig, luts, params: LUTParams, batch: int):
+    def __init__(self, cfg: CodecConfig, luts, params: LUTParams, batch: int,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — frames are data-parallel over
+        its first axis (the TPU generalization of the reference's N CUDA
+        streams, CodingEngine.cu:758-983). Inputs are device_put with the
+        frame axis sharded; GSPMD propagates the sharding through the
+        whole prep/BPC/finish chain, so every dispatch is one SPMD program
+        and the codestream bytes are identical to single-device."""
         if cfg.k_factor > 0:
             raise ValueError("BatchCodec covers k == 0 only")
         self.cfg = cfg
         self.params = params
         self.batch = batch
+        self.mesh = mesh
         self.luts = [jnp.asarray(l, jnp.int32) for l in luts]
         self.aw, self.ah = spec.adapted_size(cfg.width, cfg.height)
         levels, subbands = codeblock_bands(self.aw, self.ah,
@@ -73,7 +81,21 @@ class BatchCodec:
                                   np.tile(subbands, batch), params,
                                   cfg.wavelet_levels, cfg.coding_passes,
                                   cfg.k_factor)
-        self._meta = tuple(jnp.asarray(m) for m in meta)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ndev = int(mesh.devices.size)
+            if batch % ndev != 0:
+                raise ValueError(
+                    f"batch {batch} must be a multiple of the mesh size "
+                    f"{ndev} for frame data parallelism")
+            axis = mesh.axis_names[0]
+            repl = NamedSharding(mesh, P())
+            self._frame_sharding = NamedSharding(mesh, P(axis))
+            self.luts = [jax.device_put(l, repl) for l in self.luts]
+            self._meta = tuple(jax.device_put(jnp.asarray(m), repl)
+                               for m in meta)
+        else:
+            self._meta = tuple(jnp.asarray(m) for m in meta)
         self._staged = bpc_jax.get_staged(params, cfg.wavelet_levels,
                                           cfg.coding_passes, False)
         self._fused = (bpc_jax.get_fused(params, cfg.wavelet_levels)
@@ -103,6 +125,19 @@ class BatchCodec:
     @property
     def _offset(self) -> int:
         return 0 if self.cfg.is_signed else (1 << (self.cfg.bit_depth - 1))
+
+    def _put(self, x, dtype=None):
+        """Upload with the frame/codeblock axis sharded over the mesh.
+
+        Works for (B, ...) frame batches and (B*ncb, ...) stream/size
+        arrays alike: P(axis) constrains only dim 0, and both axes are
+        frame-major, so an even split is frame data parallelism."""
+        if self.mesh is None:
+            return jnp.asarray(x, dtype)
+        if isinstance(x, jax.Array) and x.sharding == self._frame_sharding:
+            return x if dtype is None else x.astype(dtype)
+        arr = np.asarray(x) if dtype is None else np.asarray(x, dtype)
+        return jax.device_put(arr, self._frame_sharding)
 
     # -- device programs ----------------------------------------------------
 
@@ -213,7 +248,7 @@ class BatchCodec:
         """
         use_fused = self._fused is not None and not _force_staged()
         if self.cfg.is_rgb:
-            comps = self._prep_rgb(jnp.asarray(frames_u8))
+            comps = self._prep_rgb(self._put(frames_u8))
             out = []
             for i, blocks in enumerate(comps):
                 lut = self.luts[min(i, len(self.luts) - 1)]
@@ -225,9 +260,9 @@ class BatchCodec:
                     out.append((self._cast16(s), z))
             return out
         if use_fused:
-            return [self._enc_gray_prog(jnp.asarray(frames_u8), self.luts[0],
+            return [self._enc_gray_prog(self._put(frames_u8), self.luts[0],
                                         n_planes)]
-        blocks = self._prep_gray(jnp.asarray(frames_u8))
+        blocks = self._prep_gray(self._put(frames_u8))
         s, z = self._staged.encode(blocks, self.luts[0], self._meta, n_planes)
         return [(self._cast16(s), z)]
 
@@ -241,9 +276,9 @@ class BatchCodec:
         host-side from sizes; the caller re-encodes with a larger bucket.
         """
         if self.cfg.is_rgb:
-            comps = self._prep_rgb(jnp.asarray(frames_u8))
+            comps = self._prep_rgb(self._put(frames_u8))
         else:
-            comps = (self._prep_gray(jnp.asarray(frames_u8)),)
+            comps = (self._prep_gray(self._put(frames_u8)),)
         out = []
         for i, blocks in enumerate(comps):
             lut = self.luts[min(i, len(self.luts) - 1)]
@@ -261,14 +296,14 @@ class BatchCodec:
         use_fused = self._fused is not None and not _force_staged()
         if use_fused and not self.cfg.is_rgb:
             streams, sizes = comp_streams[0]
-            return self._dec_gray_prog(jnp.asarray(streams, jnp.int32),
-                                       jnp.asarray(sizes, jnp.int32),
+            return self._dec_gray_prog(self._put(streams, np.int32),
+                                       self._put(sizes, np.int32),
                                        self.luts[0], n_planes)
         blocks = []
         for i, (streams, sizes) in enumerate(comp_streams):
             lut = self.luts[min(i, len(self.luts) - 1)]
-            s = jnp.asarray(streams, jnp.int32)
-            z = jnp.asarray(sizes, jnp.int32)
+            s = self._put(streams, np.int32)
+            z = self._put(sizes, np.int32)
             if use_fused:
                 blocks.append(self._dec_comp_prog(s, z, lut, n_planes))
             else:

@@ -52,7 +52,8 @@ HELP = """PICSONG-TPU codec. Options (reference-compatible):
   -endianess [0|1]   sample endianness
   -signedOrUnsigned [0|1]
   -numberOfStreams N video frame batch size (frames/dispatch)
-  -sharded N         shard single-image coding over N devices (0 = off)
+  -sharded N         shard coding over N devices (image: row-sharded;
+                     video: frame data parallel batches; 0 = off)
   -LUTFolder PATH    LUT folder (or 'neutral' / 'trained')
   -k K               complexity-scalability factor, 0..65.535
 """
@@ -163,7 +164,8 @@ def main(argv: list[str] | None = None) -> int:
         if is_video:
             stats = encode_video(input_file, output_file, cfg, luts, params,
                                  frames, batch=max(streams_depth, 1),
-                                 progress=True)
+                                 progress=True,
+                                 devices=max(int(opts.get("sharded", 0)), 1))
             print(f"Encoded {stats.frames} frames in {stats.wall_s:.3f}s "
                   f"(batch {stats.batch}, compute {stats.compute_s:.3f}s, "
                   f"reader stall {stats.reader_stall_s:.3f}s, writer stall "
@@ -184,7 +186,8 @@ def main(argv: list[str] | None = None) -> int:
         if is_video:
             stats = decode_video(input_file, output_file, cfg, luts, params,
                                  batch=max(streams_depth, 1),
-                                 progress=True)
+                                 progress=True,
+                                 devices=max(int(opts.get("sharded", 0)), 1))
             print(f"Decoded {stats.frames} frames in {stats.wall_s:.3f}s "
                   f"(compute {stats.compute_s:.3f}s)")
         else:

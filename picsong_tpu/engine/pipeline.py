@@ -89,12 +89,23 @@ def _encoder_mode() -> str:
 
 
 class TPUCodec:
-    """Reusable encoder/decoder for one image geometry + configuration."""
+    """Reusable encoder/decoder for one image geometry + configuration.
+
+    chunk_blocks > 0 splits the per-plane codeblock batch into chunks of
+    that many codeblocks for the staged entropy coder (the analogue of
+    capping the reference's grid size; its kernelLauncher scales by block
+    count alone, BPCEngine.cu:2307-2424). Codeblocks are independent, so
+    chunking changes peak live-buffer footprint, never bytes. Default off
+    (8192x8192 = 16k codeblocks fits v5e HBM comfortably); set
+    PICSONG_CHUNK_BLOCKS or pass explicitly for larger-than-HBM planes."""
 
     def __init__(self, cfg: CodecConfig, luts: list[np.ndarray],
-                 params: LUTParams):
+                 params: LUTParams, chunk_blocks: int | None = None):
         self.cfg = cfg
         self.params = params
+        if chunk_blocks is None:
+            chunk_blocks = int(os.environ.get("PICSONG_CHUNK_BLOCKS", "0"))
+        self._chunk = chunk_blocks
         self.luts = [jnp.asarray(l, jnp.int32) for l in luts]
         self.aw, self.ah = spec.adapted_size(cfg.width, cfg.height)
         self.dtype = sample_dtype(cfg.bps, cfg.endianess,
@@ -190,6 +201,34 @@ class TPUCodec:
         return bpc_jax.get_staged(self.params, self.cfg.wavelet_levels,
                                   self.cfg.coding_passes, False)
 
+    def _chunk_spans(self):
+        c = self._chunk
+        if not c or self.ncb <= c:
+            return [(0, self.ncb)]
+        return [(s, min(s + c, self.ncb)) for s in range(0, self.ncb, c)]
+
+    def _staged_encode_chunked(self, blocks, lut, n_planes: int):
+        spans = self._chunk_spans()
+        if len(spans) == 1:
+            return self._staged.encode(blocks, lut, self._meta, n_planes)
+        outs = [self._staged.encode(blocks[s:e], lut,
+                                    tuple(m[s:e] for m in self._meta),
+                                    n_planes)
+                for s, e in spans]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+
+    def _staged_decode_chunked(self, streams, sizes, lut, n_planes: int):
+        spans = self._chunk_spans()
+        if len(spans) == 1:
+            return self._staged.decode(streams, sizes, lut, self._meta,
+                                       n_planes)
+        outs = [self._staged.decode(streams[s:e], sizes[s:e], lut,
+                                    tuple(m[s:e] for m in self._meta),
+                                    n_planes)
+                for s, e in spans]
+        return jnp.concatenate(outs)
+
     def _encode_plane(self, plane, lut, n_planes: int | None = None):
         """n_planes=None reads the coefficient max from the device — a
         host sync. Under the axon tunnel ANY device->host read permanently
@@ -203,12 +242,12 @@ class TPUCodec:
             blocks, max_mag = self._dwt_tile(plane)
             n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
             if mode == "staged" and self.cfg.k_factor == 0:
-                return self._staged.encode(blocks, lut, self._meta, n_planes)
+                return self._staged_encode_chunked(blocks, lut, n_planes)
             return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
                                          n_planes=n_planes)
         if mode == "staged" and self.cfg.k_factor == 0:
             blocks, _ = self._dwt_tile(plane)
-            return self._staged.encode(blocks, lut, self._meta, n_planes)
+            return self._staged_encode_chunked(blocks, lut, n_planes)
         return self._encode_mono(plane, lut, n_planes)
 
     def planes_host(self, pixels) -> int:
@@ -231,8 +270,8 @@ class TPUCodec:
                 and mode == "pallas"):
             return self._decode_fused(streams, sizes, lut, n_planes)
         if mode == "staged" and self.cfg.k_factor == 0:
-            blocks = self._staged.decode(streams, sizes, lut, self._meta,
-                                         n_planes)
+            blocks = self._staged_decode_chunked(streams, sizes, lut,
+                                                 n_planes)
             return self._untile_idwt(blocks)
         return self._decode_mono(streams, sizes, lut, n_planes)
 

@@ -1,6 +1,7 @@
 """CLI and video engine round trips (image + frame-sequence paths)."""
 
 import numpy as np
+import pytest
 
 from picsong_tpu.core.header import CodecConfig
 from picsong_tpu.core.image_io import read_pgm, read_raw_frame, write_pgm
@@ -154,6 +155,107 @@ def test_batched_video_lossy(tmp_path):
         err = out.astype(np.float64) - fr.astype(np.float64)
         psnr = 10 * np.log10(255.0 ** 2 / max(float(np.mean(err * err)), 1e-12))
         assert psnr > 40.0, f"frame {i}: PSNR {psnr:.2f}"
+
+
+def test_sharded_video_matches_single_device(tmp_path):
+    """Frame-DP video over the mesh (devices=4) must emit bytes identical
+    to the single-device batched engine, from the product encode_video
+    surface (VERDICT r2 missing #2 / BASELINE config 4)."""
+    rng = np.random.default_rng(7)
+    frames = [make_image(rng, 64, 128) for _ in range(8)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=128, height=64, wavelet_levels=1, frames=8)
+    lut = neutral_lut(PARAMS, 1, 2)
+    enc1 = str(tmp_path / "single.enc")
+    encN = str(tmp_path / "sharded.enc")
+    dec = str(tmp_path / "v_dec.raw")
+    encode_video(raw, enc1, cfg, [lut], PARAMS, frames=8, batch=4)
+    st = encode_video(raw, encN, cfg, [lut], PARAMS, frames=8, batch=4,
+                      devices=4)
+    assert st.frames == 8
+    with open(enc1, "rb") as f:
+        want = f.read()
+    with open(encN, "rb") as f:
+        got = f.read()
+    assert got == want
+    decode_video(encN, dec, cfg, [lut], PARAMS, batch=4, devices=4)
+    for i, fr in enumerate(frames):
+        assert np.array_equal(read_raw_frame(dec, 128, 64, i), fr)
+
+
+def test_cli_sharded_video_roundtrip(tmp_path):
+    """-video 1 -sharded N end-to-end through the CLI."""
+    rng = np.random.default_rng(8)
+    frames = [make_image(rng, 64, 64) for _ in range(4)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    enc = str(tmp_path / "v.enc")
+    dec = str(tmp_path / "v_dec.raw")
+    assert main(["-cd", "0", "-i", raw, "-o", enc, "-wl", "1", "-video", "1",
+                 "-frames", "4", "-xSize", "64", "-ySize", "64",
+                 "-numberOfStreams", "2", "-sharded", "2",
+                 "-LUTFolder", "neutral"]) == 0
+    assert main(["-cd", "1", "-i", enc, "-o", dec, "-video", "1",
+                 "-numberOfStreams", "2", "-sharded", "2",
+                 "-LUTFolder", "neutral"]) == 0
+    for i, fr in enumerate(frames):
+        assert np.array_equal(read_raw_frame(dec, 64, 64, i), fr)
+
+
+def test_video_reader_error_fails_fast(tmp_path):
+    """A truncated input must raise promptly instead of deadlocking the
+    compute loop on a dead reader thread (VERDICT r2 weak #6)."""
+    import pytest
+    rng = np.random.default_rng(9)
+    frames = [make_image(rng, 64, 64) for _ in range(2)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+        f.write(b"\x00" * 100)          # frame 2 is truncated
+    cfg = CodecConfig(width=64, height=64, wavelet_levels=1, frames=4)
+    lut = neutral_lut(PARAMS, 1, 2)
+    enc = str(tmp_path / "v.enc")
+    with pytest.raises(Exception):
+        encode_video(raw, enc, cfg, [lut], PARAMS, frames=4, batch=1)
+
+
+@pytest.mark.parametrize("bpc_mode", ["staged", "fused"])
+def test_video_bpc_modes_byte_identical(tmp_path, monkeypatch, bpc_mode):
+    """PICSONG_VIDEO_BPC={staged,fused} must emit identical file bytes
+    (ADVICE r2 low: FusedBPC had no gate against silent regression)."""
+    monkeypatch.setenv("PICSONG_VIDEO_BPC", bpc_mode)
+    monkeypatch.setenv("PICSONG_VIDEO_PACK", "off")
+    rng = np.random.default_rng(10)           # same content for both params
+    frames = [make_image(rng, 64, 64) for _ in range(4)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=64, height=64, wavelet_levels=2, frames=4)
+    lut = neutral_lut(PARAMS, 2, 2)
+    enc = str(tmp_path / "v.enc")
+    dec = str(tmp_path / "v_dec.raw")
+    encode_video(raw, enc, cfg, [lut], PARAMS, frames=4, batch=2)
+    monkeypatch.setenv("PICSONG_VIDEO_PACK", "on")
+    monkeypatch.setenv("PICSONG_VIDEO_BPC", "staged")
+    ref = str(tmp_path / "ref.enc")
+    encode_video(raw, ref, cfg, [lut], PARAMS, frames=4, batch=2)
+    with open(enc, "rb") as f:
+        got = f.read()
+    with open(ref, "rb") as f:
+        want = f.read()
+    assert got == want
+    monkeypatch.setenv("PICSONG_VIDEO_BPC", bpc_mode)
+    monkeypatch.setenv("PICSONG_VIDEO_PACK", "off")
+    decode_video(enc, dec, cfg, [lut], PARAMS, batch=2)
+    for i, fr in enumerate(frames):
+        assert np.array_equal(read_raw_frame(dec, 64, 64, i), fr)
 
 
 def test_cli_sharded_image_roundtrip(tmp_path):

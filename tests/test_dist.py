@@ -124,6 +124,53 @@ def test_sharded_lossy_roundtrip():
     assert psnr > 40.0, f"PSNR {psnr:.2f}"
 
 
+@pytest.mark.parametrize("bps,signed", [(12, False), (16, False), (16, True)])
+def test_sharded_highdepth_matches_single(bps, signed):
+    """ShardedCodec must honor the sample type (>8-bit / signed) exactly
+    like TPUCodec — the r2 sharded path silently truncated to uint8
+    (ADVICE r2 high)."""
+    mesh = make_mesh(2)
+    rng = np.random.default_rng(20 + bps + signed)
+    if signed:
+        lo, hi, dtype = -(1 << (bps - 1)), (1 << (bps - 1)) - 1, np.int16
+    else:
+        lo, hi, dtype = 0, (1 << bps) - 1, np.uint16
+    # compressible content: full-range noise would push codeblocks into the
+    # raw expansion fallback, which stores only the low 16 coefficient bits
+    # (BPCEngine.cu:1915-1922) and is inherently lossy for >15-bit samples
+    span = hi - lo
+    y, x = np.mgrid[0:128, 0:64]
+    img = np.clip(lo + span / 2 + span / 3 * np.sin(x / 9.0) * np.cos(y / 13.0)
+                  + rng.normal(0, span / 64, size=(128, 64)),
+                  lo, hi).astype(dtype)
+    cfg = CodecConfig(width=64, height=128, wavelet_levels=1, bit_depth=bps,
+                      bps=bps, is_signed=signed)
+    lut = neutral_lut(PARAMS, 1, 2)
+    sharded = ShardedCodec(cfg, [lut], PARAMS, mesh)
+    single = TPUCodec(cfg, [lut], PARAMS)
+    got, want = sharded.encode(img), single.encode(img)
+    assert np.array_equal(got[0], want[0])
+    out = sharded.decode(got)
+    assert out.dtype == dtype
+    assert np.array_equal(out, img)
+
+
+def test_sharded_lossy_matches_single_device_bytes():
+    """Sharded lossy 9/7 must emit the same codestream bytes as the
+    single-device engine (and hence the oracle, which gates TPUCodec)."""
+    mesh = make_mesh(2)
+    rng = np.random.default_rng(21)
+    img = make_image(rng, 128, 64)
+    cfg = CodecConfig(width=64, height=128, wavelet_levels=2, is_lossy=True,
+                      qs=1.0)
+    lut = neutral_lut(PARAMS, 2, 2)
+    sharded = ShardedCodec(cfg, [lut], PARAMS, mesh)
+    single = TPUCodec(cfg, [lut], PARAMS)
+    got, want = sharded.encode(img), single.encode(img)
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(sharded.decode(got), single.decode(want))
+
+
 def test_sharded_gray_full_codestream_matches_single():
     mesh = make_mesh(4)
     rng = np.random.default_rng(6)

@@ -194,3 +194,20 @@ def test_engine_k_factor_roundtrip():
     codec = TPUCodec(cfg, [lut], PARAMS)
     out = codec.decode(codec.encode(img))
     assert np.array_equal(out, img)
+
+
+def test_chunked_codeblock_batch_matches_unchunked():
+    """chunk_blocks splits the staged coder's codeblock batch (the
+    HBM-bounding knob for very large planes, BASELINE config 3); bytes and
+    round trip must be identical to the unchunked engine, including an
+    uneven final chunk."""
+    rng = np.random.default_rng(31)
+    img = make_image(rng, 128, 1024)         # 2 x 16 = 32 codeblocks
+    cfg = CodecConfig(width=1024, height=128, wavelet_levels=2)
+    lut = neutral_lut(PARAMS, 2, 2)
+    plain = TPUCodec(cfg, [lut], PARAMS)
+    chunked = TPUCodec(cfg, [lut], PARAMS, chunk_blocks=12)  # 12+12+8
+    want = plain.encode(img)
+    got = chunked.encode(img)
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(chunked.decode(got), img)
