@@ -37,6 +37,7 @@ reference/bpc.py; this file mirrors it construct-for-construct.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -303,15 +304,16 @@ def _split_ac(ac, encode: bool):
     return ac[:4], ac[4]
 
 
-def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
-              three_cp: bool):
-    te, to, ac = carry
-    ac, streams = _split_ac(ac, encode)
+def _spp_row_body(plane, cb_active, sig9, sign4, prec, encode: bool,
+                  three_cp: bool, streams):
+    """Row-scan step of the significance-propagation pass, as a closure
+    usable either as a fori_loop body directly (_spp_pass) or as one arm
+    of the paired SPP+MRP program (_spp_mrp_pass)."""
     shift, pmask, flag = _plane_consts(plane)
-    n = te.shape[-1]
 
     def row_body(r, st):
         te, to, ac = st
+        n = te.shape[-1]
         for phase in (0, 1):
             te3 = jax.lax.dynamic_slice(te, (r, 0, 0), (3, _LANES + 1, n))
             to3 = jax.lax.dynamic_slice(to, (r, 0, 0), (3, _LANES + 1, n))
@@ -352,21 +354,29 @@ def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
                 to = _write_cells(to, upd, r, 1)
         return te, to, ac
 
+    return row_body
+
+
+def _spp_pass(carry, plane, cb_active, sig9, sign4, prec, encode: bool,
+              three_cp: bool):
+    te, to, ac = carry
+    ac, streams = _split_ac(ac, encode)
+    row_body = _spp_row_body(plane, cb_active, sig9, sign4, prec, encode,
+                             three_cp, streams)
     te, to, ac = jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
     if not encode:
         ac = ac + (streams,)
     return te, to, ac
 
 
-def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
-    te, to, ac = carry
-    ac, streams = _split_ac(ac, encode)
+def _mrp_row_body(plane, cb_active, ref1, prec, encode: bool, streams):
+    """Row-scan step of the refinement pass (closure; see _spp_row_body)."""
     shift, pmask, _ = _plane_consts(plane)
     probs = jnp.broadcast_to(ref1[None, :], (_LANES, ref1.shape[0]))
-    n = te.shape[-1]
 
     def row_body(r, st):
         te, to, ac = st
+        n = te.shape[-1]
         for phase in (0, 1):
             # slice with the same (3, 33, N) window the other passes use:
             # mixing slice shapes across chained loops makes XLA:TPU pick
@@ -393,7 +403,45 @@ def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
                 to = _write_cells(to, upd, r, 1)
         return te, to, ac
 
+    return row_body
+
+
+def _mrp_pass(carry, plane, cb_active, ref1, prec, encode: bool):
+    te, to, ac = carry
+    ac, streams = _split_ac(ac, encode)
+    row_body = _mrp_row_body(plane, cb_active, ref1, prec, encode, streams)
     te, to, ac = jax.lax.fori_loop(0, _ROWS, row_body, (te, to, ac))
+    if not encode:
+        ac = ac + (streams,)
+    return te, to, ac
+
+
+def _spp_mrp_pass(carry, plane, cb_active, sig9, sign4, ref1, prec,
+                  encode: bool):
+    """SPP then MRP for one bitplane as a SINGLE fori_loop program.
+
+    The staged schedule pays one program dispatch per pass; on small
+    images the round trip is dispatch-bound (512^2: ~2*n_planes+4 calls
+    per direction, PERF_NOTES.md). This pass halves the count without
+    violating loop-rule 3 (one big-carry loop per program): iterations
+    0..63 run the SPP row body, 64..127 the MRP row body, selected with
+    lax.cond so each iteration executes only one branch. Stream order is
+    unchanged (all SPP rows emit before any MRP row), so output bytes are
+    identical to the split passes. cp == 2 only (the cp == 3 cleanup pass
+    keeps the split schedule)."""
+    te, to, ac = carry
+    ac, streams = _split_ac(ac, encode)
+    spp_row = _spp_row_body(plane, cb_active, sig9, sign4, prec, encode,
+                            False, streams)
+    mrp_row = _mrp_row_body(plane, cb_active, ref1, prec, encode, streams)
+
+    def body(i, st):
+        r = jnp.where(i < _ROWS, i, i - _ROWS)
+        return jax.lax.cond(i < _ROWS,
+                            lambda s: spp_row(r, s),
+                            lambda s: mrp_row(r, s), st)
+
+    te, to, ac = jax.lax.fori_loop(0, 2 * _ROWS, body, (te, to, ac))
     if not encode:
         ac = ac + (streams,)
     return te, to, ac
@@ -1052,6 +1100,15 @@ def decode(streams, sizes, levels, subbands, lut, params: LUTParams,
 # pass type, reused for every plane and frame) and the coder state donated
 # from call to call.
 
+def _pair_enabled() -> bool:
+    """PICSONG_STAGED_PAIR=1 runs SPP+MRP as one program per plane.
+
+    Byte-identical to the split schedule (gated in tests/test_engine.py);
+    halves dispatches in the small-image regime. Default chosen from
+    real-chip measurement (see PERF_NOTES.md)."""
+    return os.environ.get("PICSONG_STAGED_PAIR", "0") == "1"
+
+
 class StagedBPC:
     """Host-sequenced per-pass BPC engine for one configuration."""
 
@@ -1095,6 +1152,24 @@ class StagedBPC:
                 return (te2, to2) + ac
             return jax.jit(impl, donate_argnums=donate)
 
+        def pair(encode):
+            """SPP+MRP for one plane in ONE program (cp == 2, k == 0).
+
+            Halves the per-plane dispatch count in the small-image
+            (dispatch-bound) regime; bytes identical to the split
+            schedule. Selected via PICSONG_STAGED_PAIR (see encode())."""
+            def impl(te, to, low, size, resv, counter, out, msb, consec,
+                     sig_grid0, sign_grid0, ref_b, lut, plane):
+                act = (plane <= msb) & (plane >= consec)
+                sig9 = lut[jnp.clip(sig_grid0 + plane * 9, 0, lut.shape[0] - 1)]
+                sign4 = lut[jnp.clip(sign_grid0 + plane * 4, 0, lut.shape[0] - 1)]
+                ref1 = lut[jnp.clip(ref_b + plane, 0, lut.shape[0] - 1)]
+                ac = (low, size, resv, counter, out)
+                te2, to2, ac = _spp_mrp_pass((te, to, ac), plane, act, sig9,
+                                             sign4, ref1, prec, encode)
+                return (te2, to2) + ac
+            return jax.jit(impl, donate_argnums=donate)
+
         def cp3(encode):
             def impl(te, to, low, size, resv, counter, out, msb, consec,
                      cp_sig_grid0, cp_sign_grid0, lut, plane):
@@ -1117,6 +1192,9 @@ class StagedBPC:
         if three:
             self._cp_enc = cp3(True)
             self._cp_dec = cp3(False)
+        else:
+            self._pair_enc = pair(True)
+            self._pair_dec = pair(False)
 
         self._init_enc = jax.jit(self._init_enc_impl)
         self._finish_enc = jax.jit(self._finish_enc_impl,
@@ -1126,6 +1204,7 @@ class StagedBPC:
         self._init_dec = jax.jit(self._init_dec_impl)
         self._finish_dec = jax.jit(self._finish_dec_impl,
                                    donate_argnums=(0, 1))
+        self.unpack_dense = jax.jit(self._unpack_dense_impl)
 
     # -- loopless endpoint programs ---------------------------------------
 
@@ -1205,24 +1284,48 @@ class StagedBPC:
         # compressed size; a bucket overflow re-encodes with a larger bucket
         return sizes, out[:, 0], dense
 
+    def _enc_plane_calls(self, state, msb, consec, g, lut, p, paired: bool):
+        if self.coding_passes == 3:
+            state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
+                                  g["sign_grid0"], lut, p)
+            state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
+            state = self._cp_enc(*state, msb, consec, g["cp_sig_grid0"],
+                                 g["cp_sign_grid0"], lut, p)
+        elif paired:
+            state = self._pair_enc(*state, msb, consec, g["sig_grid0"],
+                                   g["sign_grid0"], g["ref_b"], lut, p)
+        else:
+            state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
+                                  g["sign_grid0"], lut, p)
+            state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
+        return state
+
     def encode_packed(self, blocks, lut, meta, n_planes: int, bucket: int):
         """Encode + device pack: (sizes, msb_words, dense_payload)."""
+        paired = _pair_enabled() and self.coding_passes == 2
         state, msb, consec, empty, g = self._init_enc(blocks, *meta)
         for p in range(n_planes - 1, -1, -1):
-            if self.coding_passes == 3:
-                state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
-                                      g["sign_grid0"], lut, p)
-                state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
-                state = self._cp_enc(*state, msb, consec, g["cp_sig_grid0"],
-                                     g["cp_sign_grid0"], lut, p)
-            else:
-                state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
-                                      g["sign_grid0"], lut, p)
-                state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
+            state = self._enc_plane_calls(state, msb, consec, g, lut, p,
+                                          paired)
         if self.has_k and self.coding_passes == 2:
             raise NotImplementedError(
                 "staged path does not cover k > 0; use encode_blocks")
         return self._finish_enc_packed(*state, msb, empty, bucket)
+
+    def _unpack_dense_impl(self, dense, sizes, msb_words):
+        """Device-side inverse of the dense pack: the decode half of the
+        reference's BitStreamBuilder (buildCodeStreamLUTBS scatter,
+        BitStreamBuilder.cu:142-171) as one gather. dense (bucket,) uint16
+        payload + per-block sizes + MSB words -> (N, 4096) int32 streams
+        with -1 fill, bit-identical to the host unpack_streams layout."""
+        counts = sizes - 1
+        offs = jnp.cumsum(counts) - counts
+        j = jnp.arange(spec.CBLOCK_SIZE - 1, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(offs[:, None] + j, 0, dense.shape[0] - 1)
+        body = jnp.where(j < counts[:, None], dense[idx].astype(jnp.int32),
+                         np.int32(-1))
+        return jnp.concatenate(
+            [msb_words[:, None].astype(jnp.int32), body], axis=1)
 
     def _init_dec_impl(self, streams, sizes, ref_base, sig_base, sign_base,
                        cp_sig_base, cp_sign_base, k_over_l2):
@@ -1267,24 +1370,18 @@ class StagedBPC:
 
     def encode(self, blocks, lut, meta, n_planes: int):
         """blocks (N, 64, 64) int32 (device or host) -> (streams, sizes)."""
+        paired = _pair_enabled() and self.coding_passes == 2
         state, msb, consec, empty, g = self._init_enc(blocks, *meta)
         for p in range(n_planes - 1, -1, -1):
-            if self.coding_passes == 3:
-                state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
-                                      g["sign_grid0"], lut, p)
-                state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
-                state = self._cp_enc(*state, msb, consec, g["cp_sig_grid0"],
-                                     g["cp_sign_grid0"], lut, p)
-            else:
-                state = self._spp_enc(*state, msb, consec, g["sig_grid0"],
-                                      g["sign_grid0"], lut, p)
-                state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
+            state = self._enc_plane_calls(state, msb, consec, g, lut, p,
+                                          paired)
         if self.has_k and self.coding_passes == 2:
             raise NotImplementedError(
                 "staged path does not cover k > 0; use encode_blocks")
         return self._finish_enc(*state, msb, empty)
 
     def decode(self, streams, sizes, lut, meta, n_planes: int):
+        paired = _pair_enabled() and self.coding_passes == 2
         state, msb, consec, is_raw, g = self._init_dec(streams, sizes, *meta)
         for p in range(n_planes - 1, -1, -1):
             if self.coding_passes == 3:
@@ -1293,6 +1390,9 @@ class StagedBPC:
                 state = self._mrp_dec(*state, msb, consec, g["ref_b"], lut, p)
                 state = self._cp_dec(*state, msb, consec, g["cp_sig_grid0"],
                                      g["cp_sign_grid0"], lut, p)
+            elif paired:
+                state = self._pair_dec(*state, msb, consec, g["sig_grid0"],
+                                       g["sign_grid0"], g["ref_b"], lut, p)
             else:
                 state = self._spp_dec(*state, msb, consec, g["sig_grid0"],
                                       g["sign_grid0"], lut, p)

@@ -211,3 +211,50 @@ def test_chunked_codeblock_batch_matches_unchunked():
     got = chunked.encode(img)
     assert np.array_equal(got[0], want[0])
     assert np.array_equal(chunked.decode(got), img)
+
+
+def test_staged_pair_bitexact(monkeypatch):
+    """PICSONG_STAGED_PAIR=1 runs SPP+MRP as ONE program per bitplane
+    (halves dispatches in the small-image, dispatch-bound regime,
+    PERF_NOTES.md). Bytes must equal the oracle's and the split schedule's
+    exactly; the round trip must be bit-exact."""
+    rng = np.random.default_rng(17)
+    img = make_image(rng, 64, 128)
+    cfg = CodecConfig(width=128, height=64, wavelet_levels=1)
+    lut = neutral_lut(PARAMS, 1, 2)
+    want = oracle.encode_image(img, cfg, [lut], PARAMS)
+    monkeypatch.setenv("PICSONG_STAGED_PAIR", "1")
+    codec = TPUCodec(cfg, [lut], PARAMS)
+    got = codec.encode(img)
+    assert np.array_equal(got[0], want[0]), "paired-pass stream differs"
+    assert np.array_equal(codec.decode(got), img)
+
+
+def test_unpack_dense_matches_host_layout():
+    """StagedBPC.unpack_dense (device-side inverse of encode_packed) must
+    reproduce the host unpack_streams layout exactly: word 0 = MSB, words
+    1..size-1 = payload, -1 fill beyond."""
+    import jax.numpy as jnp
+    from picsong_tpu.engine.batch import BatchCodec
+    rng = np.random.default_rng(23)
+    frames = np.stack([make_image(rng, 64, 128) for _ in range(2)])
+    cfg = CodecConfig(width=128, height=64, wavelet_levels=1)
+    lut = neutral_lut(PARAMS, 1, 2)
+    bc = BatchCodec(cfg, [lut], PARAMS, batch=2)
+    n_planes = 9
+    (streams, sizes), = bc.encode_batch(frames, n_planes)
+    sizes = np.asarray(sizes)
+    bucket = int((sizes - 1).sum()) + 8
+    (psizes, msb, dense), = bc.encode_batch_packed(frames, n_planes, bucket)
+    assert np.array_equal(np.asarray(psizes), sizes)
+    got = np.asarray(bc._staged.unpack_dense(
+        jnp.asarray(dense), jnp.asarray(psizes, jnp.int32),
+        jnp.asarray(msb, jnp.int32)))
+    want = np.asarray(streams, np.uint16).astype(np.int64)
+    want_full = np.where(want == 0xFFFF, -1, want)  # cast16 wraps -1 fill
+    # word 0 (MSB) and payload words must match; fill must be -1
+    assert np.array_equal(got[:, 0], np.asarray(msb))
+    for i in range(got.shape[0]):
+        n = int(sizes[i])
+        assert np.array_equal(got[i, :n], want_full[i, :n])
+        assert np.all(got[i, n:] == -1)
