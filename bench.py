@@ -4,11 +4,23 @@ Runs the jitted single-device pipeline on the default accelerator (the
 real TPU chip under the driver) over the BASELINE workload family and
 prints one JSON line:
 
-  {"metric": ..., "value": N, "unit": "MPixels/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "MPixels/s", "vs_baseline": N,
+   "extra": {...}}
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is
 reported against the BASELINE.json north-star acceptance value of
 100 MPixels/s/chip for a lossless 5/3 + BPC round trip.
+
+`value` is the headline config (lossless 5/3, 2048x2048, wl=5 — BASELINE
+config 1). A default run additionally times the whole recorded surface
+(VERDICT r2 next #6) and reports it under "extra":
+
+  lossy97_2048      BASELINE config 2 (9/7 + quantization)
+  lossless53_8192   BASELINE config 3 (8K single image)
+  quick_512         the dispatch-overhead regime (512^2, wl=1)
+  packed_2048       round trip THROUGH the device-side BitStreamBuilder
+                    (encode_packed -> dense payload -> unpack_dense ->
+                    decode): codestream relocation included
 
 Flags:
   --size N       image edge (default 2048)
@@ -16,16 +28,23 @@ Flags:
   --lossy        benchmark the 9/7 + quantization path
   --iters N      timed iterations (default 10)
   --quick        512x512, 1 level, 2 iters (smoke test)
+  --packed       round trip through encode_packed/unpack_dense
+  --no-extras    headline config only (single-config runs imply this)
 
-The JSON line reports which encoder/decoder path ran (staged/mono/pallas)
-and the per-iteration millisecond samples, so a silent path flip or a bad
-compile roll is visible from the recorded line alone (VERDICT r1 weak #8).
+Timing discipline (PERF_NOTES.md): every sample blocks, >=2 iters, and NO
+device->host read happens before the LAST timed loop finishes — under the
+axon tunnel the first D2H permanently degrades dispatch ~1000x, so all
+configs compile + warm + time first and every correctness assert runs
+after. The JSON line reports which encoder/decoder path ran and the
+per-iteration millisecond samples, so a silent path flip or a bad compile
+roll is visible from the recorded line alone (VERDICT r1 weak #8).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -41,80 +60,176 @@ def make_image(size: int) -> np.ndarray:
     return np.clip(base, 0, 255).astype(np.uint8)
 
 
+class Config:
+    """One benchmark configuration: build/warm/time now, verify later."""
+
+    def __init__(self, name: str, size: int, levels: int, lossy: bool,
+                 iters: int, packed: bool = False):
+        self.name, self.size, self.levels = name, size, levels
+        self.lossy, self.iters, self.packed = lossy, iters, packed
+        self.samples_ms: list[float] = []
+        self.error: str | None = None
+
+    def build(self):
+        import jax.numpy as jnp
+
+        from picsong_tpu.core.header import CodecConfig
+        from picsong_tpu.core.lut import LUTParams, neutral_lut
+        from picsong_tpu.engine.pipeline import TPUCodec
+
+        cfg = CodecConfig(width=self.size, height=self.size,
+                          wavelet_levels=self.levels, is_lossy=self.lossy,
+                          qs=1.0)
+        params = LUTParams()
+        lut = neutral_lut(params, cfg.wavelet_levels, cfg.coding_passes)
+        # PICSONG_LUT_PAD: cache-busting knob — padding the (index-clipped)
+        # LUT changes the HLO hash without changing semantics, forcing a
+        # fresh compile (the remote TPU compiler is observably
+        # nondeterministic; a re-roll can replace a bad cached binary)
+        pad = int(os.environ.get("PICSONG_LUT_PAD", "0"))
+        if pad:
+            lut = np.concatenate([lut, np.full(pad, 64, dtype=np.int32)])
+        self.codec = TPUCodec(cfg, [lut], params)
+        img = make_image(self.size)
+        self.n_planes = self.codec.planes_host(img)
+        self.plane = jnp.asarray(self.codec._prep_gray(jnp.asarray(img)))
+        if self.packed:
+            # bucket: static dense-payload capacity in uint16 words. The
+            # synthetic image compresses ~2x, so half the raw size plus
+            # slack; overflow is checked post-timing and reported.
+            self.bucket = self.size * self.size // 2 + (1 << 16)
+
+    def roundtrip(self):
+        codec, lut = self.codec, self.codec.luts[0]
+        if self.packed:
+            import jax.numpy as jnp
+            st = codec._staged
+            blocks, _ = codec._dwt_tile(self.plane)
+            sizes, msb, dense = st.encode_packed(
+                blocks, lut, codec._meta, self.n_planes, self.bucket)
+            streams = st.unpack_dense(dense, sizes,
+                                      msb.astype(jnp.int32))
+            blocks = st.decode(streams, sizes.astype(jnp.int32), lut,
+                               codec._meta, self.n_planes)
+            self._sizes = sizes
+            return codec._untile_idwt(blocks)
+        streams, sizes = codec._encode_plane(self.plane, lut, self.n_planes)
+        return codec._decode_plane(streams, sizes, lut, self.n_planes)
+
+    def warm_and_time(self):
+        out = self.roundtrip()
+        out.block_until_ready()           # compile + warm up
+        for _ in range(self.iters):
+            t0 = time.perf_counter()
+            out = self.roundtrip()
+            out.block_until_ready()
+            self.samples_ms.append((time.perf_counter() - t0) * 1e3)
+        self.out = out
+
+    def verify(self):
+        """Runs AFTER every config's timed loop (first D2H of the run).
+
+        Comparisons happen ON DEVICE and download one scalar each — a
+        full-plane download of the 8192^2 config would cost ~30 s at the
+        tunnel's D2H bandwidth for no extra signal."""
+        import jax.numpy as jnp
+        if self.packed:
+            used = int(jnp.sum(self._sizes.astype(jnp.int64))
+                       - self._sizes.shape[0])
+            if used > self.bucket:
+                raise AssertionError(
+                    f"dense bucket overflow: {used} > {self.bucket}")
+        if not self.lossy:
+            if not bool(jnp.array_equal(self.out, self.plane)):
+                raise AssertionError("lossless round trip not bit-exact")
+        else:
+            err = self.out.astype(jnp.float64) - self.plane
+            rms = float(jnp.sqrt(jnp.mean(err * err)))
+            if rms > 4.0:
+                raise AssertionError(f"lossy reconstruction RMS {rms:.2f}")
+
+    @property
+    def median_ms(self) -> float:
+        return sorted(self.samples_ms)[len(self.samples_ms) // 2]
+
+    @property
+    def mpix(self) -> float:
+        return self.size * self.size / (self.median_ms / 1e3) / 1e6
+
+    def report(self) -> dict:
+        if self.error:
+            return {"error": self.error}
+        return {"mpix_s": round(self.mpix, 3),
+                "median_ms": round(self.median_ms, 3),
+                "samples_ms": [round(s, 3) for s in self.samples_ms]}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=2048)
+    ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--levels", type=int, default=5)
     ap.add_argument("--lossy", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--no-extras", action="store_true")
     args = ap.parse_args()
+
+    single = (args.size is not None or args.quick or args.lossy
+              or args.packed or args.no_extras)
     if args.quick:
-        args.size, args.levels, args.iters = 512, 1, 2
+        size, levels = 512, 1
+        iters = 2 if args.iters == 10 else args.iters
+    else:
+        size, levels, iters = args.size or 2048, args.levels, args.iters
 
-    import jax
-    import jax.numpy as jnp
+    mode = "lossy97" if args.lossy else "lossless53"
+    head = Config(f"{mode}_{size}", size, levels, args.lossy, iters,
+                  packed=args.packed)
+    configs = [head]
+    if not single:
+        configs += [
+            Config("lossy97_2048", 2048, 5, True, iters),
+            Config("quick_512", 512, 1, False, max(iters, 10)),
+            Config("packed_2048", 2048, 5, False, iters, packed=True),
+            Config("lossless53_8192", 8192, 5, False, max(iters // 2, 3)),
+        ]
 
-    from picsong_tpu.core.header import CodecConfig
-    from picsong_tpu.core.lut import LUTParams, neutral_lut
-    from picsong_tpu.engine.pipeline import TPUCodec
-
-    cfg = CodecConfig(width=args.size, height=args.size,
-                      wavelet_levels=args.levels, is_lossy=args.lossy, qs=1.0)
-    params = LUTParams()
-    lut = neutral_lut(params, cfg.wavelet_levels, cfg.coding_passes)
-    # PICSONG_LUT_PAD: cache-busting knob — padding the (index-clipped) LUT
-    # changes the HLO hash without changing semantics, forcing a fresh
-    # compile (the remote TPU compiler is observably nondeterministic; a
-    # re-roll can replace a badly-autotuned cached binary)
-    import os
-    pad = int(os.environ.get("PICSONG_LUT_PAD", "0"))
-    if pad:
-        lut = np.concatenate([lut, np.full(pad, 64, dtype=np.int32)])
-    codec = TPUCodec(cfg, [lut], params)
-    img = make_image(args.size)
-
-    # device-only round trip (jitted encode + decode, host pack excluded
-    # from the hot loop like the reference's "without allocation" timer).
-    # CRITICAL: no device->host read happens before or during the timed
-    # loop — under the axon tunnel the first read permanently degrades
-    # dispatch ~1000x (PERF_NOTES.md), so n_planes comes from a CPU-backend
-    # replica of the DWT and correctness is asserted after timing.
-    n_planes = codec.planes_host(img)
-    plane = jnp.asarray(codec._prep_gray(jnp.asarray(img)))
-
-    def roundtrip():
-        streams, sizes = codec._encode_plane(plane, codec.luts[0], n_planes)
-        out = codec._decode_plane(streams, sizes, codec.luts[0], n_planes)
-        return out
-
-    out = roundtrip()
-    out.block_until_ready()           # compile + warm up
-
-    samples_ms = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        out = roundtrip()
-        out.block_until_ready()
-        samples_ms.append((time.perf_counter() - t0) * 1e3)
-    med_ms = sorted(samples_ms)[len(samples_ms) // 2]
-
-    if not args.lossy:
-        assert np.array_equal(np.asarray(out), np.asarray(plane)), \
-            "lossless round trip not bit-exact"
+    # Phase 1: build + warm + time everything. No D2H before this loop
+    # completes (planes_host is a CPU-backend replica, not a device read).
+    for c in configs:
+        try:
+            c.build()
+            c.warm_and_time()
+        except Exception as e:                      # noqa: BLE001
+            c.error = f"{type(e).__name__}: {e}"
+            if c is head:
+                raise
+    # Phase 2: correctness (first device reads of the process).
+    for c in configs:
+        if c.error:
+            continue
+        try:
+            c.verify()
+        except Exception as e:                      # noqa: BLE001
+            c.error = f"{type(e).__name__}: {e}"
+            if c is head:
+                raise
 
     from picsong_tpu.engine.pipeline import _decoder_mode, _encoder_mode
-    mpix = args.size * args.size / (med_ms / 1e3) / 1e6
-    mode = "lossy97" if args.lossy else "lossless53"
-    print(json.dumps({
-        "metric": f"MPixels/s/chip encode+decode {mode} {args.size}x{args.size}",
-        "value": round(mpix, 3),
+    rec = {
+        "metric": (f"MPixels/s/chip encode+decode {mode} {size}x{size}"
+                   + (" packed" if args.packed else "")),
+        "value": round(head.mpix, 3),
         "unit": "MPixels/s",
-        "vs_baseline": round(mpix / BASELINE_MPS, 4),
+        "vs_baseline": round(head.mpix / BASELINE_MPS, 4),
         "encoder": _encoder_mode(), "decoder": _decoder_mode(),
-        "median_ms": round(med_ms, 3),
-        "samples_ms": [round(s, 3) for s in samples_ms],
-    }))
+        "median_ms": round(head.median_ms, 3),
+        "samples_ms": [round(s, 3) for s in head.samples_ms],
+    }
+    if not single:
+        rec["extra"] = {c.name: c.report() for c in configs[1:]}
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
