@@ -17,6 +17,7 @@ config 1). A default run additionally times the whole recorded surface
 
   lossy97_2048      BASELINE config 2 (9/7 + quantization)
   lossless53_8192   BASELINE config 3 (8K single image)
+  lossy97_8192      BASELINE config 3, lossy path
   quick_512         the dispatch-overhead regime (512^2, wl=1)
   packed_2048       round trip THROUGH the device-side BitStreamBuilder
                     (encode_packed -> dense payload -> unpack_dense ->
@@ -31,13 +32,17 @@ Flags:
   --packed       round trip through encode_packed/unpack_dense
   --no-extras    headline config only (single-config runs imply this)
 
-Timing discipline (PERF_NOTES.md): every sample blocks, >=2 iters, and NO
-device->host read happens before the LAST timed loop finishes — under the
-axon tunnel the first D2H permanently degrades dispatch ~1000x, so all
-configs compile + warm + time first and every correctness assert runs
-after. The JSON line reports which encoder/decoder path ran and the
-per-iteration millisecond samples, so a silent path flip or a bad compile
-roll is visible from the recorded line alone (VERDICT r1 weak #8).
+Timing discipline (PERF_NOTES.md round 3): per-iteration blocked timing
+with ONE round trip in flight, medians reported; large geometries run
+through the engine's chunked codeblock batches, which keeps every program
+in the regime where readiness reporting is trustworthy (see
+Config.warm_and_time and tools/sync_probe.py for the investigation). NO
+device->host read happens before the LAST timed loop finishes — the first
+D2H permanently degrades dispatch ~1000x, so all configs compile + warm +
+time first and every correctness assert runs after. The JSON line reports
+which encoder/decoder path ran, per-sample times and the mean, so a
+silent path flip, an async leak or a bad compile roll is visible from the
+recorded line alone (VERDICT r1 weak #8).
 """
 
 from __future__ import annotations
@@ -99,12 +104,12 @@ class Config:
             # slack; overflow is checked post-timing and reported.
             self.bucket = self.size * self.size // 2 + (1 << 16)
 
-    def roundtrip(self):
+    def roundtrip(self, plane):
         codec, lut = self.codec, self.codec.luts[0]
         if self.packed:
             import jax.numpy as jnp
             st = codec._staged
-            blocks, _ = codec._dwt_tile(self.plane)
+            blocks, _ = codec._dwt_tile(plane)
             sizes, msb, dense = st.encode_packed(
                 blocks, lut, codec._meta, self.n_planes, self.bucket)
             streams = st.unpack_dense(dense, sizes,
@@ -113,18 +118,33 @@ class Config:
                                codec._meta, self.n_planes)
             self._sizes = sizes
             return codec._untile_idwt(blocks)
-        streams, sizes = codec._encode_plane(self.plane, lut, self.n_planes)
+        streams, sizes = codec._encode_plane(plane, lut, self.n_planes)
         return codec._decode_plane(streams, sizes, lut, self.n_planes)
 
     def warm_and_time(self):
-        out = self.roundtrip()
+        """Per-iteration blocked timing, one round trip in flight.
+
+        Protocol notes (tools/sync_probe.py, PERF_NOTES.md round 3):
+        `block_until_ready` readiness is only trustworthy in the
+        VMEM-resident regime (codeblock batches ~<= 2048 blocks); larger
+        unchunked programs both run pathologically slowly under the axon
+        tunnel AND report fictional readiness, so big-geometry configs
+        run CHUNKED (the engine splits the codeblock batch; see build()).
+        Chained-dependency timing is NOT used: with lying readiness the
+        client enqueues the whole chain ahead, overcommitting HBM
+        (measured: a 104-link 8192^2 chain wedged the device for >30
+        minutes). Medians over samples_ms are robust to the occasional
+        early-return sample."""
+        out = self.roundtrip(self.plane)
         out.block_until_ready()           # compile + warm up
+        self.out = out                    # single-pass result for verify()
+        t0 = time.perf_counter()
         for _ in range(self.iters):
-            t0 = time.perf_counter()
-            out = self.roundtrip()
+            ts = time.perf_counter()
+            out = self.roundtrip(self.plane)
             out.block_until_ready()
-            self.samples_ms.append((time.perf_counter() - t0) * 1e3)
-        self.out = out
+            self.samples_ms.append((time.perf_counter() - ts) * 1e3)
+        self.chained_ms = (time.perf_counter() - t0) * 1e3 / self.iters
 
     def verify(self):
         """Runs AFTER every config's timed loop (first D2H of the run).
@@ -161,6 +181,7 @@ class Config:
             return {"error": self.error}
         return {"mpix_s": round(self.mpix, 3),
                 "median_ms": round(self.median_ms, 3),
+                "mean_ms": round(self.chained_ms, 3),
                 "samples_ms": [round(s, 3) for s in self.samples_ms]}
 
 
@@ -193,6 +214,7 @@ def main() -> None:
             Config("quick_512", 512, 1, False, max(iters, 10)),
             Config("packed_2048", 2048, 5, False, iters, packed=True),
             Config("lossless53_8192", 8192, 5, False, max(iters // 2, 3)),
+            Config("lossy97_8192", 8192, 5, True, max(iters // 2, 3)),
         ]
 
     # Phase 1: build + warm + time everything. No D2H before this loop
@@ -217,6 +239,7 @@ def main() -> None:
                 raise
 
     from picsong_tpu.engine.pipeline import _decoder_mode, _encoder_mode
+    from picsong_tpu.entropy.bpc_jax import _group_size, _pair_enabled
     rec = {
         "metric": (f"MPixels/s/chip encode+decode {mode} {size}x{size}"
                    + (" packed" if args.packed else "")),
@@ -224,7 +247,9 @@ def main() -> None:
         "unit": "MPixels/s",
         "vs_baseline": round(head.mpix / BASELINE_MPS, 4),
         "encoder": _encoder_mode(), "decoder": _decoder_mode(),
+        "paired": _pair_enabled(), "plane_group": _group_size(),
         "median_ms": round(head.median_ms, 3),
+        "mean_ms": round(head.chained_ms, 3),
         "samples_ms": [round(s, 3) for s in head.samples_ms],
     }
     if not single:

@@ -95,9 +95,12 @@ class TPUCodec:
     that many codeblocks for the staged entropy coder (the analogue of
     capping the reference's grid size; its kernelLauncher scales by block
     count alone, BPCEngine.cu:2307-2424). Codeblocks are independent, so
-    chunking changes peak live-buffer footprint, never bytes. Default off
-    (8192x8192 = 16k codeblocks fits v5e HBM comfortably); set
-    PICSONG_CHUNK_BLOCKS or pass explicitly for larger-than-HBM planes."""
+    chunking changes peak live-buffer footprint and program shape, never
+    bytes. Default 0 = AUTO: batches over 2048 codeblocks split into
+    1024-block chunks (bpc_jax._auto_chunk — the unchunked 16k-block
+    8192^2 program measured ~66 s/call on the real chip, the chunked one
+    milliseconds; PERF_NOTES.md round 3). PICSONG_CHUNK_BLOCKS
+    overrides."""
 
     def __init__(self, cfg: CodecConfig, luts: list[np.ndarray],
                  params: LUTParams, chunk_blocks: int | None = None):
@@ -201,33 +204,13 @@ class TPUCodec:
         return bpc_jax.get_staged(self.params, self.cfg.wavelet_levels,
                                   self.cfg.coding_passes, False)
 
-    def _chunk_spans(self):
-        c = self._chunk
-        if not c or self.ncb <= c:
-            return [(0, self.ncb)]
-        return [(s, min(s + c, self.ncb)) for s in range(0, self.ncb, c)]
-
     def _staged_encode_chunked(self, blocks, lut, n_planes: int):
-        spans = self._chunk_spans()
-        if len(spans) == 1:
-            return self._staged.encode(blocks, lut, self._meta, n_planes)
-        outs = [self._staged.encode(blocks[s:e], lut,
-                                    tuple(m[s:e] for m in self._meta),
-                                    n_planes)
-                for s, e in spans]
-        return (jnp.concatenate([o[0] for o in outs]),
-                jnp.concatenate([o[1] for o in outs]))
+        return self._staged.encode(blocks, lut, self._meta, n_planes,
+                                   chunk=self._chunk or None)
 
     def _staged_decode_chunked(self, streams, sizes, lut, n_planes: int):
-        spans = self._chunk_spans()
-        if len(spans) == 1:
-            return self._staged.decode(streams, sizes, lut, self._meta,
-                                       n_planes)
-        outs = [self._staged.decode(streams[s:e], sizes[s:e], lut,
-                                    tuple(m[s:e] for m in self._meta),
-                                    n_planes)
-                for s, e in spans]
-        return jnp.concatenate(outs)
+        return self._staged.decode(streams, sizes, lut, self._meta,
+                                   n_planes, chunk=self._chunk or None)
 
     def _encode_plane(self, plane, lut, n_planes: int | None = None):
         """n_planes=None reads the coefficient max from the device — a

@@ -1100,13 +1100,56 @@ def decode(streams, sizes, levels, subbands, lut, params: LUTParams,
 # pass type, reused for every plane and frame) and the coder state donated
 # from call to call.
 
+def _auto_chunk(n_blocks: int) -> int:
+    """Codeblock-batch chunk size (0 = no chunking).
+
+    Measured on the real chip (tools/sync_probe.py, 2026-08-20): the
+    staged loop programs fall off a cliff at very large codeblock
+    batches — an unchunked 16384-block (8192^2) round trip costs ~66 s
+    PER ITERATION more than the same work as 1024-block chunks (the
+    (66, 33, N) grids leave the VMEM-resident regime and the remote
+    backend additionally reports fictional buffer readiness there, see
+    PERF_NOTES.md round 3). Codeblocks are independent, so chunking
+    changes peak live-buffer footprint and program shape, never bytes.
+    PICSONG_CHUNK_BLOCKS overrides (0 disables)."""
+    env = os.environ.get("PICSONG_CHUNK_BLOCKS", "")
+    if env:
+        try:
+            return max(int(env), 0)
+        except ValueError:
+            return 0
+    return 1024 if n_blocks > 2048 else 0
+
+
+def _group_size() -> int:
+    """PICSONG_STAGED_GROUP=G (G > 1) codes G bitplanes per program.
+
+    Each program is one nested fori_loop: outer over the G planes (the
+    plane index, LUT slices and activity mask become traced per-iteration
+    values), inner the paired SPP+MRP row scan. Cuts the per-plane
+    dispatch count by G without chaining big-carry loops at the top level
+    (rule 3: ONE outer loop owns the carry). Bytes identical to the split
+    and paired schedules (gated in tests/test_engine.py); planes below 0
+    in the final partial group are inactive no-ops. Default from
+    real-chip measurement (PERF_NOTES.md)."""
+    try:
+        g = int(os.environ.get("PICSONG_STAGED_GROUP", "1"))
+    except ValueError:
+        return 1
+    return max(g, 1)
+
+
 def _pair_enabled() -> bool:
-    """PICSONG_STAGED_PAIR=1 runs SPP+MRP as one program per plane.
+    """PICSONG_STAGED_PAIR=1 (default) runs SPP+MRP as one program per
+    plane.
 
     Byte-identical to the split schedule (gated in tests/test_engine.py);
-    halves dispatches in the small-image regime. Default chosen from
-    real-chip measurement (see PERF_NOTES.md)."""
-    return os.environ.get("PICSONG_STAGED_PAIR", "0") == "1"
+    halves dispatches. Default from real-chip measurement (2026-08-20,
+    fresh process per variant, 10-12 blocked iters, see PERF_NOTES.md):
+    512^2 wl=1 263 vs 124 MPix/s, 2048^2 wl=5 6294 vs 3132 MPix/s —
+    a ~2x round-trip win in BOTH the dispatch-bound and the large-plane
+    regime. Set =0 to fall back to the split schedule."""
+    return os.environ.get("PICSONG_STAGED_PAIR", "1") == "1"
 
 
 class StagedBPC:
@@ -1184,6 +1227,38 @@ class StagedBPC:
                 return (te2, to2) + ac
             return jax.jit(impl, donate_argnums=donate)
 
+        def pair_group(encode, G):
+            """G bitplanes (SPP+MRP each) in ONE program (cp == 2).
+
+            Outer fori_loop over the group's planes; the plane index is a
+            traced scalar, so one executable serves every plane group.
+            See _group_size()."""
+            def impl(te, to, low, size, resv, counter, out, msb, consec,
+                     sig_grid0, sign_grid0, ref_b, lut, plane0):
+
+                lutmax = lut.shape[0] - 1
+
+                def body(gi, st):
+                    plane = plane0 - gi
+                    act = ((plane <= msb) & (plane >= consec)
+                           & (plane >= 0))
+                    sig9 = lut[jnp.clip(sig_grid0 + plane * 9, 0, lutmax)]
+                    sign4 = lut[jnp.clip(sign_grid0 + plane * 4, 0, lutmax)]
+                    ref1 = lut[jnp.clip(ref_b + plane, 0, lutmax)]
+                    te_, to_, ac_ = st
+                    te_, to_, ac_ = _spp_mrp_pass((te_, to_, ac_), plane,
+                                                  act, sig9, sign4, ref1,
+                                                  prec, encode)
+                    return te_, to_, ac_
+
+                ac = (low, size, resv, counter, out)
+                te2, to2, ac = jax.lax.fori_loop(0, G, body, (te, to, ac))
+                return (te2, to2) + ac
+            return jax.jit(impl, donate_argnums=donate)
+
+        self._pair_group = pair_group
+        self._group_progs: dict = {}
+
         three = coding_passes == 3
         self._spp_enc = spp(True, three)
         self._spp_dec = spp(False, three)
@@ -1205,6 +1280,8 @@ class StagedBPC:
         self._finish_dec = jax.jit(self._finish_dec_impl,
                                    donate_argnums=(0, 1))
         self.unpack_dense = jax.jit(self._unpack_dense_impl)
+        self._pack_dense = jax.jit(self._pack_dense_impl,
+                                   static_argnums=(2,))
 
     # -- loopless endpoint programs ---------------------------------------
 
@@ -1300,17 +1377,58 @@ class StagedBPC:
             state = self._mrp_enc(*state, msb, consec, g["ref_b"], lut, p)
         return state
 
-    def encode_packed(self, blocks, lut, meta, n_planes: int, bucket: int):
-        """Encode + device pack: (sizes, msb_words, dense_payload)."""
+    def _grouped_prog(self, encode: bool, G: int):
+        key = (encode, G)
+        if key not in self._group_progs:
+            self._group_progs[key] = self._pair_group(encode, G)
+        return self._group_progs[key]
+
+    def _run_planes(self, state, msb, consec, g, lut, n_planes: int,
+                    encode: bool):
+        """Dispatch all bitplane passes (split / paired / plane-grouped)."""
         paired = _pair_enabled() and self.coding_passes == 2
-        state, msb, consec, empty, g = self._init_enc(blocks, *meta)
+        G = _group_size() if paired else 1
+        if G > 1:
+            prog = self._grouped_prog(encode, G)
+            for p0 in range(n_planes - 1, -1, -G):
+                state = prog(*state, msb, consec, g["sig_grid0"],
+                             g["sign_grid0"], g["ref_b"], lut, p0)
+            return state
+        calls = self._enc_plane_calls if encode else self._dec_plane_calls
         for p in range(n_planes - 1, -1, -1):
-            state = self._enc_plane_calls(state, msb, consec, g, lut, p,
-                                          paired)
+            state = calls(state, msb, consec, g, lut, p, paired)
+        return state
+
+    def encode_packed(self, blocks, lut, meta, n_planes: int, bucket: int,
+                      chunk: int | None = None):
+        """Encode + device pack: (sizes, msb_words, dense_payload)."""
+        spans = self._spans(blocks.shape[0], chunk)
+        if spans:
+            # chunked loop programs + one full-batch pack gather (the pack
+            # is a single flat gather, not a loop program; see _auto_chunk)
+            streams, sizes = self.encode(blocks, lut, meta, n_planes,
+                                         chunk=chunk)
+            return self._pack_dense(streams, sizes, bucket)
+        state, msb, consec, empty, g = self._init_enc(blocks, *meta)
+        state = self._run_planes(state, msb, consec, g, lut, n_planes, True)
         if self.has_k and self.coding_passes == 2:
             raise NotImplementedError(
                 "staged path does not cover k > 0; use encode_blocks")
         return self._finish_enc_packed(*state, msb, empty, bucket)
+
+    def _pack_dense_impl(self, streams, sizes, bucket: int):
+        """Dense pack of already-finished (N, 4096) streams (the tail of
+        _finish_enc_packed_impl, for the chunked-encode path)."""
+        n = streams.shape[0]
+        counts = sizes - 1
+        offs = jnp.cumsum(counts) - counts
+        src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
+                         total_repeat_length=bucket)
+        within = jnp.arange(bucket, dtype=jnp.int32) - offs[src] + 1
+        flat = streams.reshape(-1)
+        idx = jnp.clip(src * spec.CBLOCK_SIZE + within, 0, flat.shape[0] - 1)
+        dense = flat[idx].astype(jnp.uint16)
+        return sizes, streams[:, 0], dense
 
     def _unpack_dense_impl(self, dense, sizes, msb_words):
         """Device-side inverse of the dense pack: the decode half of the
@@ -1368,35 +1486,60 @@ class StagedBPC:
 
     # -- host-sequenced drivers -------------------------------------------
 
-    def encode(self, blocks, lut, meta, n_planes: int):
-        """blocks (N, 64, 64) int32 (device or host) -> (streams, sizes)."""
-        paired = _pair_enabled() and self.coding_passes == 2
+    def _dec_plane_calls(self, state, msb, consec, g, lut, p, paired: bool):
+        if self.coding_passes == 3:
+            state = self._spp_dec(*state, msb, consec, g["sig_grid0"],
+                                  g["sign_grid0"], lut, p)
+            state = self._mrp_dec(*state, msb, consec, g["ref_b"], lut, p)
+            state = self._cp_dec(*state, msb, consec, g["cp_sig_grid0"],
+                                 g["cp_sign_grid0"], lut, p)
+        elif paired:
+            state = self._pair_dec(*state, msb, consec, g["sig_grid0"],
+                                   g["sign_grid0"], g["ref_b"], lut, p)
+        else:
+            state = self._spp_dec(*state, msb, consec, g["sig_grid0"],
+                                  g["sign_grid0"], lut, p)
+            state = self._mrp_dec(*state, msb, consec, g["ref_b"], lut, p)
+        return state
+
+    @staticmethod
+    def _spans(n: int, chunk: int | None):
+        c = _auto_chunk(n) if chunk is None else chunk
+        if not c or n <= c:
+            return None
+        return [(s, min(s + c, n)) for s in range(0, n, c)]
+
+    def encode(self, blocks, lut, meta, n_planes: int,
+               chunk: int | None = None):
+        """blocks (N, 64, 64) int32 (device or host) -> (streams, sizes).
+
+        chunk=None auto-splits very large codeblock batches (_auto_chunk);
+        pass an int to force a chunk size (0 disables)."""
+        spans = self._spans(blocks.shape[0], chunk)
+        if spans:
+            outs = [self.encode(blocks[s:e], lut,
+                                tuple(m[s:e] for m in meta), n_planes,
+                                chunk=0)
+                    for s, e in spans]
+            return (jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]))
         state, msb, consec, empty, g = self._init_enc(blocks, *meta)
-        for p in range(n_planes - 1, -1, -1):
-            state = self._enc_plane_calls(state, msb, consec, g, lut, p,
-                                          paired)
+        state = self._run_planes(state, msb, consec, g, lut, n_planes, True)
         if self.has_k and self.coding_passes == 2:
             raise NotImplementedError(
                 "staged path does not cover k > 0; use encode_blocks")
         return self._finish_enc(*state, msb, empty)
 
-    def decode(self, streams, sizes, lut, meta, n_planes: int):
-        paired = _pair_enabled() and self.coding_passes == 2
+    def decode(self, streams, sizes, lut, meta, n_planes: int,
+               chunk: int | None = None):
+        spans = self._spans(streams.shape[0], chunk)
+        if spans:
+            return jnp.concatenate(
+                [self.decode(streams[s:e], sizes[s:e], lut,
+                             tuple(m[s:e] for m in meta), n_planes, chunk=0)
+                 for s, e in spans])
         state, msb, consec, is_raw, g = self._init_dec(streams, sizes, *meta)
-        for p in range(n_planes - 1, -1, -1):
-            if self.coding_passes == 3:
-                state = self._spp_dec(*state, msb, consec, g["sig_grid0"],
-                                      g["sign_grid0"], lut, p)
-                state = self._mrp_dec(*state, msb, consec, g["ref_b"], lut, p)
-                state = self._cp_dec(*state, msb, consec, g["cp_sig_grid0"],
-                                     g["cp_sign_grid0"], lut, p)
-            elif paired:
-                state = self._pair_dec(*state, msb, consec, g["sig_grid0"],
-                                       g["sign_grid0"], g["ref_b"], lut, p)
-            else:
-                state = self._spp_dec(*state, msb, consec, g["sig_grid0"],
-                                      g["sign_grid0"], lut, p)
-                state = self._mrp_dec(*state, msb, consec, g["ref_b"], lut, p)
+        state = self._run_planes(state, msb, consec, g, lut, n_planes, False)
         if self.has_k and self.coding_passes == 2:
             raise NotImplementedError(
                 "staged path does not cover k > 0; use decode_blocks")

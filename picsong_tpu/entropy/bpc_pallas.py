@@ -30,6 +30,17 @@ Bit-exactness: mirrors entropy/bpc_jax.py construct-for-construct (which
 is gated bit-identical against the NumPy oracle of the reference coder);
 tests/test_pallas_bpc.py cross-checks decoded coefficients on random
 codeblock batches in interpret mode (CPU) and on device.
+
+MEASURED CONCLUSION (round 2-3, tools/mode_bench.py; PERF_NOTES.md): on
+the real v5e chip the XLA staged path round-trips 2048^2 at ~1-6 GPix/s
+while this kernel pair measures ~42 MPix/s — the per-block scalar-loop
+tape refills serialize on the scalar core and swamp the dispatch savings.
+The staged (32, N) XLA formulation is the production path; this module is
+kept as the CI-gated alternative formulation (PICSONG_ENCODER/DECODER=
+pallas) because it is the only implementation that exploits the stream's
+sequential-consumption property directly, but further optimization here
+was retired in favor of the paired-pass staged schedule (bpc_jax.py
+_spp_mrp_pass) after measurement. Do not extend it without re-measuring.
 """
 
 from __future__ import annotations

@@ -213,6 +213,21 @@ def test_chunked_codeblock_batch_matches_unchunked():
     assert np.array_equal(chunked.decode(got), img)
 
 
+def test_large_geometry_chunked_roundtrip():
+    """BASELINE config 3 shape class (8K single image): a 1024x8192 plane
+    (2048 codeblocks, wl=5) through the staged coder with an uneven
+    chunk split must round-trip bit-exact. The reference's grid scales by
+    block count alone (BPCEngine.cu:2307-2424); this exercises the same
+    invariant plus the HBM-bounding chunk logic at a >10^7-pixel scale."""
+    rng = np.random.default_rng(37)
+    img = make_image(rng, 1024, 8192)
+    cfg = CodecConfig(width=8192, height=1024, wavelet_levels=5)
+    lut = neutral_lut(PARAMS, 5, 2)
+    codec = TPUCodec(cfg, [lut], PARAMS, chunk_blocks=900)  # 900+900+248
+    streams = codec.encode(img)
+    assert np.array_equal(codec.decode(streams), img)
+
+
 def test_staged_pair_bitexact(monkeypatch):
     """PICSONG_STAGED_PAIR=1 runs SPP+MRP as ONE program per bitplane
     (halves dispatches in the small-image, dispatch-bound regime,
@@ -228,6 +243,31 @@ def test_staged_pair_bitexact(monkeypatch):
     got = codec.encode(img)
     assert np.array_equal(got[0], want[0]), "paired-pass stream differs"
     assert np.array_equal(codec.decode(got), img)
+
+
+@pytest.mark.parametrize("group", [3, 16])
+def test_staged_plane_group_bitexact(group, monkeypatch):
+    """PICSONG_STAGED_GROUP=G codes G bitplanes (SPP+MRP each) per program
+    via a nested fori_loop (entropy/bpc_jax.py pair_group). Bytes must
+    equal the split schedule's exactly — including a final partial group
+    whose below-zero planes must be no-ops — and the round trip must stay
+    bit-exact."""
+    from picsong_tpu.entropy import bpc_jax
+    rng = np.random.default_rng(19)
+    img = make_image(rng, 64, 192)
+    cfg = CodecConfig(width=192, height=64, wavelet_levels=1)
+    lut = neutral_lut(PARAMS, 1, 2)
+    monkeypatch.setenv("PICSONG_STAGED_PAIR", "0")
+    bpc_jax._staged_cache.clear()
+    want = TPUCodec(cfg, [lut], PARAMS).encode(img)
+    monkeypatch.setenv("PICSONG_STAGED_PAIR", "1")
+    monkeypatch.setenv("PICSONG_STAGED_GROUP", str(group))
+    bpc_jax._staged_cache.clear()
+    codec = TPUCodec(cfg, [lut], PARAMS)
+    got = codec.encode(img)
+    assert np.array_equal(got[0], want[0]), "grouped-plane stream differs"
+    assert np.array_equal(codec.decode(got), img)
+    bpc_jax._staged_cache.clear()
 
 
 def test_unpack_dense_matches_host_layout():
