@@ -1130,10 +1130,13 @@ def _group_size() -> int:
     dispatch count by G without chaining big-carry loops at the top level
     (rule 3: ONE outer loop owns the carry). Bytes identical to the split
     and paired schedules (gated in tests/test_engine.py); planes below 0
-    in the final partial group are inactive no-ops. Default from
-    real-chip measurement (PERF_NOTES.md)."""
+    in the final partial group are inactive no-ops. Default G=4 from
+    real-chip measurement (2026-08-20, fresh process per variant, 10-12
+    blocked iters): 512^2 wl=1 551 vs 213 MPix/s (G=1), 2048^2 wl=5
+    median 0.86 vs 1.01 ms — G=4 wins both the dispatch-bound and the
+    large-plane regime; G=8 regressed to 492 at 512^2 (PERF_NOTES.md)."""
     try:
-        g = int(os.environ.get("PICSONG_STAGED_GROUP", "1"))
+        g = int(os.environ.get("PICSONG_STAGED_GROUP", "4"))
     except ValueError:
         return 1
     return max(g, 1)

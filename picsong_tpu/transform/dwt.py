@@ -78,19 +78,79 @@ def _inv97(s: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return _merge(even, odd)
 
 
+# Horizontal pass, transpose-free: even/odd columns come from a lane-axis
+# deinterleave (reshape (H, W/2, 2)) and neighbor exchange is a lane shift.
+# Same arithmetic per element as the transposed formulation (bit-identical
+# output), but XLA:TPU lowers it without the 4 relayout copies per level —
+# measured 2026-08-20 on the real chip (tools/dwt_probe.py, 2048^2 wl=5):
+# fwd 0.027 vs 0.035 ms, rev 0.046 vs 0.082 ms median.
+
+def _split_l(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    h, w = x.shape
+    pairs = x.reshape(h, w // 2, 2)
+    return pairs[..., 0], pairs[..., 1]
+
+
+def _merge_l(even: jnp.ndarray, odd: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.stack([even, odd], axis=2)
+    return out.reshape(even.shape[0], even.shape[1] * 2)
+
+
+def _nxt_l(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+
+
+def _prv_l(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+
+
+def _fwd53_h(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    even, odd = _split_l(x)
+    d = odd - ((even + _nxt_l(even)) >> 1)
+    s = even + ((_prv_l(d) + d + 2) >> 2)
+    return s, d
+
+
+def _inv53_h(s: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    even = s - ((_prv_l(d) + d + 2) >> 2)
+    odd = d + ((even + _nxt_l(even)) >> 1)
+    return _merge_l(even, odd)
+
+
+def _fwd97_h(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    even, odd = _split_l(x)
+    odd = odd + (even + _nxt_l(even)) * spec.I97_ALPHA
+    even = even + (_prv_l(odd) + odd) * spec.I97_BETA
+    odd = odd + (even + _nxt_l(even)) * spec.I97_GAMMA
+    even = (even + (_prv_l(odd) + odd) * spec.I97_DELTA) * spec.I97_K2
+    odd = odd * spec.I97_K1
+    return even, odd
+
+
+def _inv97_h(s: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    odd = d / spec.I97_K1
+    even = s / spec.I97_K2 - (_prv_l(odd) + odd) * spec.I97_DELTA
+    odd = odd - (even + _nxt_l(even)) * spec.I97_GAMMA
+    even = even - (_prv_l(odd) + odd) * spec.I97_BETA
+    odd = odd - (even + _nxt_l(even)) * spec.I97_ALPHA
+    return _merge_l(even, odd)
+
+
 def _fwd_level(plane: jnp.ndarray, lossy: bool):
-    fwd = _fwd97 if lossy else _fwd53
-    lo_v, hi_v = fwd(plane)                       # vertical first
-    ll, hl = (a.T for a in fwd(lo_v.T))           # then horizontal
-    lh, hh = (a.T for a in fwd(hi_v.T))
+    fwd_v = _fwd97 if lossy else _fwd53
+    fwd_h = _fwd97_h if lossy else _fwd53_h
+    lo_v, hi_v = fwd_v(plane)                     # vertical first
+    ll, hl = fwd_h(lo_v)                          # then horizontal (lanes)
+    lh, hh = fwd_h(hi_v)
     return ll, hl, lh, hh
 
 
 def _inv_level(ll, hl, lh, hh, lossy: bool):
-    inv = _inv97 if lossy else _inv53
-    lo_v = inv(ll.T, hl.T).T                      # horizontal inverse first
-    hi_v = inv(lh.T, hh.T).T
-    return inv(lo_v, hi_v)
+    inv_v = _inv97 if lossy else _inv53
+    inv_h = _inv97_h if lossy else _inv53_h
+    lo_v = inv_h(ll, hl)                          # horizontal inverse first
+    hi_v = inv_h(lh, hh)
+    return inv_v(lo_v, hi_v)
 
 
 @partial(jax.jit, static_argnames=("levels", "lossy", "qs"))

@@ -106,6 +106,13 @@ def test_scaling_report():
     assert d["efficiency"] > 0.8    # the BASELINE-5 pass criterion shape
 
 
+def _timed(fn):
+    import time
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def test_measured_scaling_efficiency_is_plausible(tmp_path):
     """Warm steady-state efficiency measured on real encodes must land in
     (0, 1.05] — r2's compile-polluted baseline reported 2.17 (VERDICT r2
@@ -125,18 +132,23 @@ def test_measured_scaling_efficiency_is_plausible(tmp_path):
     single = str(tmp_path / "single.enc")
     encode_video(raw, single, cfg, [lut], PARAMS, frames=n_frames,
                  batch=4)                                 # warm-up compile
-    t0 = time.perf_counter()
-    encode_video(raw, single, cfg, [lut], PARAMS, frames=n_frames, batch=4)
-    t_single = time.perf_counter() - t0
+
+    # min-of-repeats timing: a contention spike during the single-host run
+    # (e.g. the rest of the suite on a loaded CI box) would otherwise make
+    # sequential identical work look superlinear. The minimum over repeats
+    # estimates the uncontended wall for both sides.
+    reps = 3
+    t_single = min(_timed(lambda: encode_video(
+        raw, single, cfg, [lut], PARAMS, frames=n_frames, batch=4))
+        for _ in range(reps))
 
     merged = str(tmp_path / "m.enc")
     hosts = 2
     walls = []
     for h in range(hosts):
-        t0 = time.perf_counter()
-        encode_video_part(raw, merged, cfg, [lut], PARAMS, frames=n_frames,
-                          num_hosts=hosts, host_id=h, batch=4)
-        walls.append(time.perf_counter() - t0)
+        walls.append(min(_timed(lambda: encode_video_part(
+            raw, merged, cfg, [lut], PARAMS, frames=n_frames,
+            num_hosts=hosts, host_id=h, batch=4)) for _ in range(reps)))
     merge_parts(merged, hosts)
 
     rep = ScalingReport(frames=n_frames, num_hosts=hosts, host_wall_s=walls,
