@@ -107,12 +107,15 @@ class Config:
     def roundtrip(self, plane):
         codec, lut = self.codec, self.codec.luts[0]
         if self.packed:
+            import jax.numpy as jnp
             st = codec._staged
             blocks, _ = codec._dwt_tile(plane)
             sizes, msb, dense = st.encode_packed(
                 blocks, lut, codec._meta, self.n_planes, self.bucket)
-            blocks = st.decode_dense(dense, sizes, msb, lut, codec._meta,
-                                     self.n_planes)
+            streams = st.unpack_dense(dense, sizes,
+                                      msb.astype(jnp.int32))
+            blocks = st.decode(streams, sizes.astype(jnp.int32), lut,
+                               codec._meta, self.n_planes)
             self._sizes = sizes
             return codec._untile_idwt(blocks)
         streams, sizes = codec._encode_plane(plane, lut, self.n_planes)

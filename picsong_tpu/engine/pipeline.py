@@ -123,8 +123,6 @@ class TPUCodec:
                         has_k=cfg.k_factor > 0)
         self._dwt_tile = jax.jit(self._dwt_tile_impl)
         self._untile_idwt = jax.jit(self._untile_idwt_impl)
-        self._enc_front = jax.jit(self._enc_front_impl)
-        self._dec_back = jax.jit(self._dec_back_impl, donate_argnums=(0, 1))
         self._prep_gray = jax.jit(self._prep_gray_impl)
         self._prep_rgb = jax.jit(self._prep_rgb_impl)
         self._finish_gray = jax.jit(self._finish_gray_impl)
@@ -214,43 +212,6 @@ class TPUCodec:
         return self._staged.decode(streams, sizes, lut, self._meta,
                                    n_planes, chunk=self._chunk or None)
 
-    # -- endpoint-fused staged drivers -------------------------------------
-    # The staged schedule's endpoints are loopless programs; fusing the
-    # DWT+tiling into the encode init and the inverse DWT into the decode
-    # finish drops two dispatches per round trip and keeps the (N, 64, 64)
-    # codeblock tensor inside a program instead of round-tripping HBM at
-    # each seam. Identical math -> identical bytes (oracle gates). Chunked
-    # large batches keep the split endpoints (the chunk loop needs the
-    # blocks tensor at the seam anyway).
-
-    def _enc_front_impl(self, plane):
-        blocks, _ = self._dwt_tile_impl(plane)
-        return self._staged._init_enc_impl(blocks, *self._meta)
-
-    def _dec_back_impl(self, te, to, streams, is_raw):
-        blocks = self._staged._finish_dec_impl(te, to, streams, is_raw)
-        return self._untile_idwt_impl(blocks)
-
-    def _staged_encode_plane(self, plane, lut, n_planes: int):
-        st = self._staged
-        if st._spans(self.ncb, self._chunk or None):
-            blocks, _ = self._dwt_tile(plane)
-            return self._staged_encode_chunked(blocks, lut, n_planes)
-        state, msb, consec, empty, g = self._enc_front(plane)
-        state = st._run_planes(state, msb, consec, g, lut, n_planes, True)
-        return st._finish_enc(*state, msb, empty)
-
-    def _staged_decode_plane(self, streams, sizes, lut, n_planes: int):
-        st = self._staged
-        if st._spans(self.ncb, self._chunk or None):
-            blocks = self._staged_decode_chunked(streams, sizes, lut,
-                                                 n_planes)
-            return self._untile_idwt(blocks)
-        state, msb, consec, is_raw, g = st._init_dec(streams, sizes,
-                                                     *self._meta)
-        state = st._run_planes(state, msb, consec, g, lut, n_planes, False)
-        return self._dec_back(state[0], state[1], state[6], is_raw)
-
     def _encode_plane(self, plane, lut, n_planes: int | None = None):
         """n_planes=None reads the coefficient max from the device — a
         host sync. Under the axon tunnel ANY device->host read permanently
@@ -268,7 +229,8 @@ class TPUCodec:
             return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
                                          n_planes=n_planes)
         if mode == "staged" and self.cfg.k_factor == 0:
-            return self._staged_encode_plane(plane, lut, n_planes)
+            blocks, _ = self._dwt_tile(plane)
+            return self._staged_encode_chunked(blocks, lut, n_planes)
         return self._encode_mono(plane, lut, n_planes)
 
     def planes_host(self, pixels) -> int:
@@ -291,7 +253,9 @@ class TPUCodec:
                 and mode == "pallas"):
             return self._decode_fused(streams, sizes, lut, n_planes)
         if mode == "staged" and self.cfg.k_factor == 0:
-            return self._staged_decode_plane(streams, sizes, lut, n_planes)
+            blocks = self._staged_decode_chunked(streams, sizes, lut,
+                                                 n_planes)
+            return self._untile_idwt(blocks)
         return self._decode_mono(streams, sizes, lut, n_planes)
 
     def _finish_gray_impl(self, plane):

@@ -1280,7 +1280,6 @@ class StagedBPC:
         self._finish_enc_packed = jax.jit(self._finish_enc_packed_impl,
                                           static_argnums=(9,))
         self._init_dec = jax.jit(self._init_dec_impl)
-        self._init_dec_dense = jax.jit(self._init_dec_dense_impl)
         self._finish_dec = jax.jit(self._finish_dec_impl,
                                    donate_argnums=(0, 1))
         self.unpack_dense = jax.jit(self._unpack_dense_impl)
@@ -1448,45 +1447,6 @@ class StagedBPC:
                          np.int32(-1))
         return jnp.concatenate(
             [msb_words[:, None].astype(jnp.int32), body], axis=1)
-
-    def _init_dec_dense_impl(self, dense, sizes, msb_words, ref_base,
-                             sig_base, sign_base, cp_sig_base, cp_sign_base,
-                             k_over_l2):
-        """Decode init straight from the packed dense payload.
-
-        Fuses the unpack gather (_unpack_dense_impl) into the decode-init
-        program: one fewer dispatch and the (N, 4096) sparse buffer is
-        born on device inside this program instead of round-tripping HBM
-        between two programs. Bit-identical to unpack_dense + _init_dec."""
-        streams = self._unpack_dense_impl(dense, sizes, msb_words)
-        return self._init_dec_impl(streams, sizes, ref_base, sig_base,
-                                   sign_base, cp_sig_base, cp_sign_base,
-                                   k_over_l2)
-
-    def decode_dense(self, dense, sizes, msb_words, lut, meta, n_planes: int,
-                     chunk: int | None = None):
-        """Decode a device-packed codestream (encode_packed's output).
-
-        The decoder's BitStreamBuilder half (reference: buildCodeStreamLUTBS
-        scatter, BitStreamBuilder.cu:142-171) fused into the decode chain;
-        the loop then consumes the unpacked streams carried in-program.
-        Chunked batches fall back to unpack-then-chunked-decode (the dense
-        offsets span chunk boundaries)."""
-        sizes = jnp.asarray(sizes).astype(jnp.int32)
-        msb_words = jnp.asarray(msb_words).astype(jnp.int32)
-        spans = self._spans(int(sizes.shape[0]), chunk)
-        if spans:
-            streams = self.unpack_dense(dense, sizes, msb_words)
-            return self.decode(streams, sizes, lut, meta, n_planes,
-                               chunk=chunk)
-        state, msb, consec, is_raw, g = self._init_dec_dense(
-            dense, sizes, msb_words, *meta)
-        state = self._run_planes(state, msb, consec, g, lut, n_planes, False)
-        if self.has_k and self.coding_passes == 2:
-            raise NotImplementedError(
-                "staged path does not cover k > 0; use decode_blocks")
-        te, to = state[0], state[1]
-        return self._finish_dec(te, to, state[6], is_raw)
 
     def _init_dec_impl(self, streams, sizes, ref_base, sig_base, sign_base,
                        cp_sig_base, cp_sign_base, k_over_l2):

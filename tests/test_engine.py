@@ -298,30 +298,3 @@ def test_unpack_dense_matches_host_layout():
         n = int(sizes[i])
         assert np.array_equal(got[i, :n], want_full[i, :n])
         assert np.all(got[i, n:] == -1)
-
-
-def test_decode_dense_fused_matches_unpack_then_decode():
-    """StagedBPC.decode_dense (unpack gather fused into the decode-init
-    program) must reproduce unpack_dense + decode exactly and round-trip
-    the source frames."""
-    import jax.numpy as jnp
-    from picsong_tpu.engine.batch import BatchCodec
-    rng = np.random.default_rng(29)
-    frames = np.stack([make_image(rng, 64, 128) for _ in range(2)])
-    cfg = CodecConfig(width=128, height=64, wavelet_levels=1)
-    lut = neutral_lut(PARAMS, 1, 2)
-    bc = BatchCodec(cfg, [lut], PARAMS, batch=2)
-    n_planes = 9
-    bucket = 64 * 128 * 2 + 64
-    (sizes, msb, dense), = bc.encode_batch_packed(frames, n_planes, bucket)
-    st = bc._staged
-    streams = st.unpack_dense(jnp.asarray(dense),
-                              jnp.asarray(sizes, jnp.int32),
-                              jnp.asarray(msb, jnp.int32))
-    want = np.asarray(st.decode(streams, jnp.asarray(sizes, jnp.int32),
-                                jnp.asarray(lut, jnp.int32), bc._meta,
-                                n_planes))
-    got = np.asarray(st.decode_dense(jnp.asarray(dense), sizes, msb,
-                                     jnp.asarray(lut, jnp.int32), bc._meta,
-                                     n_planes))
-    assert np.array_equal(got, want), "fused dense decode differs"
