@@ -69,9 +69,10 @@ class Config:
     """One benchmark configuration: build/warm/time now, verify later."""
 
     def __init__(self, name: str, size: int, levels: int, lossy: bool,
-                 iters: int, packed: bool = False):
+                 iters: int, packed: bool = False, k: float = 0.0):
         self.name, self.size, self.levels = name, size, levels
         self.lossy, self.iters, self.packed = lossy, iters, packed
+        self.k = k
         self.samples_ms: list[float] = []
         self.error: str | None = None
 
@@ -84,9 +85,10 @@ class Config:
 
         cfg = CodecConfig(width=self.size, height=self.size,
                           wavelet_levels=self.levels, is_lossy=self.lossy,
-                          qs=1.0)
+                          qs=1.0, k_factor=self.k)
         params = LUTParams()
-        lut = neutral_lut(params, cfg.wavelet_levels, cfg.coding_passes)
+        lut = neutral_lut(params, cfg.wavelet_levels, cfg.coding_passes,
+                          n_groups=params.n_bitplane_files if self.k else 1)
         # PICSONG_LUT_PAD: cache-busting knob — padding the (index-clipped)
         # LUT changes the HLO hash without changing semantics, forcing a
         # fresh compile (the remote TPU compiler is observably
@@ -193,11 +195,13 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--k", type=float, default=0.0,
+                    help="complexity-scalability factor (bulk bitplanes)")
     ap.add_argument("--no-extras", action="store_true")
     args = ap.parse_args()
 
     single = (args.size is not None or args.quick or args.lossy
-              or args.packed or args.no_extras)
+              or args.packed or args.no_extras or args.k > 0)
     if args.quick:
         size, levels = 512, 1
         iters = 2 if args.iters == 10 else args.iters
@@ -205,14 +209,17 @@ def main() -> None:
         size, levels, iters = args.size or 2048, args.levels, args.iters
 
     mode = "lossy97" if args.lossy else "lossless53"
+    if args.k > 0:
+        mode = f"cs_k{args.k:g}_{mode}"
     head = Config(f"{mode}_{size}", size, levels, args.lossy, iters,
-                  packed=args.packed)
+                  packed=args.packed, k=args.k)
     configs = [head]
     if not single:
         configs += [
             Config("lossy97_2048", 2048, 5, True, iters),
             Config("quick_512", 512, 1, False, max(iters, 10)),
             Config("packed_2048", 2048, 5, False, iters, packed=True),
+            Config("cs_k5_2048", 2048, 5, False, iters, k=5.0),
             Config("lossless53_8192", 8192, 5, False, max(iters // 2, 3)),
             Config("lossy97_8192", 8192, 5, True, max(iters // 2, 3)),
         ]

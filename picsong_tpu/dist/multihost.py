@@ -36,7 +36,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..core.header import CodecConfig
-from ..engine.video import VideoStats, encode_video
+from ..engine.video import VideoStats, decode_video, encode_video
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -114,6 +114,67 @@ def encode_video_multihost(input_path: str, output_path: str,
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("picsong-video-merged")
     return stats
+
+
+def decode_video_part(input_path: str, output_path: str, cfg: CodecConfig,
+                      luts, params, num_hosts: int, host_id: int,
+                      batch: int = 8, progress: bool = False) -> VideoStats:
+    """Decode this host's frame slab into its rank part file (raw planes).
+
+    The `_SIZE` sidecar's prefix offsets give every host random access to
+    its slab without touching other hosts' bytes — the multi-host mirror
+    of the reference's pipelined video decode
+    (DecodingEngine.cu:866-1043) + its resume-at-frame-i offsets
+    (IOManager.ipp:196-208)."""
+    from ..core.image_io import read_sizes
+
+    sizes = read_sizes(input_path)
+    n_comp = 3 if cfg.is_rgb else 1
+    total = len(sizes) // n_comp
+    start, stop = frame_slab(total, num_hosts, host_id)
+    part = part_path(output_path, host_id)
+    if stop <= start:
+        open(part, "w").close()
+        return VideoStats()
+    return decode_video(input_path, part, cfg, luts, params, batch=batch,
+                        progress=progress, frame_offset=start,
+                        frames=stop - start)
+
+
+def decode_video_multihost(input_path: str, output_path: str,
+                           cfg: CodecConfig, luts, params,
+                           batch: int = 8,
+                           progress: bool = False) -> VideoStats:
+    """Full multi-host decode: slab decode -> barrier -> rank-0 raw concat."""
+    import jax
+
+    pid, n = jax.process_index(), jax.process_count()
+    stats = decode_video_part(input_path, output_path, cfg, luts, params,
+                              n, pid, batch=batch, progress=progress)
+    if n > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("picsong-video-dec-parts")
+    if pid == 0:
+        merge_raw_parts(output_path, n)
+    if n > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("picsong-video-dec-merged")
+    return stats
+
+
+def merge_raw_parts(output_path: str, num_hosts: int) -> None:
+    """Rank-ordered concat of decoded raw part files (rank 0).
+
+    Raw planar frames have no sidecar; contiguous slabs concat to exactly
+    the single-host output file."""
+    import shutil
+
+    with open(output_path, "wb") as out:
+        for h in range(num_hosts):
+            part = part_path(output_path, h)
+            with open(part, "rb") as f:
+                shutil.copyfileobj(f, out, length=16 * 1024 * 1024)
+            os.remove(part)
 
 
 def merge_parts(output_path: str, num_hosts: int) -> None:

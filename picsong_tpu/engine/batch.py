@@ -54,8 +54,8 @@ class BatchCodec:
 
     Grayscale batches are (B, H, W) uint8; RGB batches are (B, 3, H, W)
     uint8 (already mirror-padded to the adapted size). Covers cp=2 and
-    cp=3 with k == 0 (the staged engine's domain); k > 0 video falls back
-    to the per-frame path in engine/video.py.
+    cp=3, with or without complexity scalability (k > 0 runs the staged
+    bulk pass; the fused one-dispatch programs remain k == 0 only).
     """
 
     def __init__(self, cfg: CodecConfig, luts, params: LUTParams, batch: int,
@@ -66,8 +66,6 @@ class BatchCodec:
         frame axis sharded; GSPMD propagates the sharding through the
         whole prep/BPC/finish chain, so every dispatch is one SPMD program
         and the codestream bytes are identical to single-device."""
-        if cfg.k_factor > 0:
-            raise ValueError("BatchCodec covers k == 0 only")
         self.cfg = cfg
         self.params = params
         self.batch = batch
@@ -97,9 +95,11 @@ class BatchCodec:
         else:
             self._meta = tuple(jnp.asarray(m) for m in meta)
         self._staged = bpc_jax.get_staged(params, cfg.wavelet_levels,
-                                          cfg.coding_passes, False)
+                                          cfg.coding_passes,
+                                          cfg.k_factor > 0)
         self._fused = (bpc_jax.get_fused(params, cfg.wavelet_levels)
-                       if cfg.coding_passes == 2 else None)
+                       if cfg.coding_passes == 2 and cfg.k_factor == 0
+                       else None)
         self._prep_gray = jax.jit(self._prep_gray_impl)
         self._prep_rgb = jax.jit(self._prep_rgb_impl)
         self._finish_gray = jax.jit(self._finish_gray_impl)

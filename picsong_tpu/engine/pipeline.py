@@ -202,7 +202,8 @@ class TPUCodec:
     @property
     def _staged(self):
         return bpc_jax.get_staged(self.params, self.cfg.wavelet_levels,
-                                  self.cfg.coding_passes, False)
+                                  self.cfg.coding_passes,
+                                  self.cfg.k_factor > 0)
 
     def _staged_encode_chunked(self, blocks, lut, n_planes: int):
         return self._staged.encode(blocks, lut, self._meta, n_planes,
@@ -224,11 +225,11 @@ class TPUCodec:
         if n_planes is None:
             blocks, max_mag = self._dwt_tile(plane)
             n_planes = bpc_jax.planes_for_magnitude(int(max_mag))
-            if mode == "staged" and self.cfg.k_factor == 0:
+            if mode == "staged":
                 return self._staged_encode_chunked(blocks, lut, n_planes)
             return bpc_jax.encode_blocks(blocks, lut, *self._meta, **self._kw,
                                          n_planes=n_planes)
-        if mode == "staged" and self.cfg.k_factor == 0:
+        if mode == "staged":
             blocks, _ = self._dwt_tile(plane)
             return self._staged_encode_chunked(blocks, lut, n_planes)
         return self._encode_mono(plane, lut, n_planes)
@@ -252,7 +253,7 @@ class TPUCodec:
         if (self.cfg.k_factor == 0 and self.cfg.coding_passes == 2
                 and mode == "pallas"):
             return self._decode_fused(streams, sizes, lut, n_planes)
-        if mode == "staged" and self.cfg.k_factor == 0:
+        if mode == "staged":
             blocks = self._staged_decode_chunked(streams, sizes, lut,
                                                  n_planes)
             return self._untile_idwt(blocks)
@@ -368,7 +369,10 @@ def host_plane_bound(cfg: CodecConfig, pixels, aw: int, ah: int,
     sequence and relies on check_planes_bound for pathological content."""
     offset = 0 if cfg.is_signed else (1 << (cfg.bit_depth - 1))
     dtype = sample_dtype(cfg.bps, cfg.endianess, cfg.is_signed).newbyteorder("=")
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: under a multi-process jax.distributed
+    # runtime, jax.devices() lists GLOBAL devices and index 0 may belong
+    # to another process — computing there makes the result unfetchable
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         if cfg.is_rgb:
             planes = [jnp.asarray(mirror_pad(np.asarray(p).astype(dtype),

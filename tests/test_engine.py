@@ -196,6 +196,24 @@ def test_engine_k_factor_roundtrip():
     assert np.array_equal(out, img)
 
 
+def test_engine_k_factor_matches_oracle_streams():
+    """The staged bulk (complexity-scalability) path emits the exact
+    oracle bytes through the full engine, including the chunked codeblock
+    schedule (the 8K-regime shape with k > 0)."""
+    rng = np.random.default_rng(41)
+    img = make_image(rng, 128, 256)
+    cfg = CodecConfig(width=256, height=128, wavelet_levels=2, k_factor=5.0)
+    lut = neutral_lut(PARAMS, 2, 2, n_groups=PARAMS.n_bitplane_files)
+    want = oracle.encode_image(img, cfg, [lut], PARAMS)
+    codec = TPUCodec(cfg, [lut], PARAMS)
+    got = codec.encode(img)
+    assert np.array_equal(got[0], want[0])
+    chunked = TPUCodec(cfg, [lut], PARAMS, chunk_blocks=3)
+    got_c = chunked.encode(img)
+    assert np.array_equal(got_c[0], want[0])
+    assert np.array_equal(chunked.decode(got_c), img)
+
+
 def test_chunked_codeblock_batch_matches_unchunked():
     """chunk_blocks splits the staged coder's codeblock batch (the
     HBM-bounding knob for very large planes, BASELINE config 3); bytes and

@@ -60,6 +60,7 @@ def test_decode_matches_oracle_and_inverts():
 
 @pytest.mark.parametrize("k", [1.0, 8.0])
 def test_bulk_mode_matches_oracle(k):
+    """Gates the STAGED bulk pass (the production k > 0 path)."""
     blocks, levels, subbands = make_blocks(11, 4, amplitude=900, sparsity=0.6)
     lut = random_lut(3, n_groups=PARAMS.n_bitplane_files)
     want_s, want_n = oracle_encode(blocks, levels, subbands, lut, k=k)
@@ -70,6 +71,29 @@ def test_bulk_mode_matches_oracle(k):
     out = bpc_jax.decode(got_s, got_n, levels, subbands, lut, PARAMS, WL,
                          k_factor=k)
     assert np.array_equal(out, blocks)
+
+
+def test_bulk_mode_mono_matches_oracle():
+    """Keeps the monolithic k > 0 formulation gated now that the NumPy
+    entry points route through the staged bulk program."""
+    import jax.numpy as jnp
+    k = 4.0
+    blocks, levels, subbands = make_blocks(19, 3, amplitude=700, sparsity=0.5)
+    lut = random_lut(9, n_groups=PARAMS.n_bitplane_files)
+    want_s, want_n = oracle_encode(blocks, levels, subbands, lut, k=k)
+    args = bpc_jax._meta_args(levels, subbands, PARAMS, WL, 2, k)
+    n_planes = bpc_jax.planes_for_magnitude(int(np.max(np.abs(blocks))))
+    got_s, got_n = bpc_jax.encode_blocks(
+        jnp.asarray(blocks, jnp.int32), jnp.asarray(lut, jnp.int32), *args,
+        params=PARAMS, wavelet_levels=WL, coding_passes=2, has_k=True,
+        n_planes=n_planes)
+    assert np.array_equal(np.asarray(got_n), want_n)
+    assert np.array_equal(np.asarray(got_s), want_s)
+    out = bpc_jax.decode_blocks(
+        jnp.asarray(got_s), jnp.asarray(got_n, jnp.int32),
+        jnp.asarray(lut, jnp.int32), *args, params=PARAMS, wavelet_levels=WL,
+        coding_passes=2, has_k=True, n_planes=n_planes)
+    assert np.array_equal(np.asarray(out), blocks)
 
 
 def test_three_coding_passes_matches_oracle():

