@@ -368,7 +368,7 @@ def encode_video(input_path: str, output_path: str, cfg: CodecConfig,
 def _encode_video_perframe(input_path, output_path, cfg, luts, params,
                            frames, prefetch_depth, progress,
                            frame_offset: int = 0) -> VideoStats:
-    """Per-frame fallback (k > 0, or degenerate frame counts)."""
+    """Per-frame fallback (degenerate frame/batch counts)."""
     codec = TPUCodec(cfg, luts, params)
     stats = VideoStats()
     t0 = time.perf_counter()

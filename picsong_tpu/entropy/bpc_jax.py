@@ -1168,7 +1168,7 @@ def _auto_chunk(n_blocks: int) -> int:
     return 1024 if n_blocks > 2048 else 0
 
 
-def _group_size() -> int:
+def _group_size(n_blocks: int | None = None) -> int:
     """PICSONG_STAGED_GROUP=G (G > 1) codes G bitplanes per program.
 
     Each program is one nested fori_loop: outer over the G planes (the
@@ -1177,16 +1177,21 @@ def _group_size() -> int:
     dispatch count by G without chaining big-carry loops at the top level
     (rule 3: ONE outer loop owns the carry). Bytes identical to the split
     and paired schedules (gated in tests/test_engine.py); planes below 0
-    in the final partial group are inactive no-ops. Default G=4 from
-    real-chip measurement (2026-08-20, fresh process per variant, 10-12
-    blocked iters): 512^2 wl=1 551 vs 213 MPix/s (G=1), 2048^2 wl=5
-    median 0.86 vs 1.01 ms — G=4 wins both the dispatch-bound and the
-    large-plane regime; G=8 regressed to 492 at 512^2 (PERF_NOTES.md)."""
-    try:
-        g = int(os.environ.get("PICSONG_STAGED_GROUP", "4"))
-    except ValueError:
-        return 1
-    return max(g, 1)
+    in the final partial group are inactive no-ops.
+
+    Default is ADAPTIVE (round 4): G=4 in the small/medium regime — the
+    round-3 measurement (512^2 wl=1: 551 MPix/s at G=4 vs 492 at G=8;
+    2048^2 wl=5: 0.86 ms) — but G=8 for large chunked codeblock batches,
+    where the round trip is dominated by per-chunk dispatch count
+    (8192^2, 16x1024-block chunks, 2026-08-20: G=8 1214 MPix/s median
+    vs G=4 1113, same-day same-tunnel; PERF_NOTES.md round 4)."""
+    env = os.environ.get("PICSONG_STAGED_GROUP", "")
+    if env:
+        try:
+            return max(int(env), 1)
+        except ValueError:
+            return 1
+    return 8 if (n_blocks or 0) >= 1024 else 4
 
 
 def _pair_enabled() -> bool:
@@ -1533,7 +1538,7 @@ class StagedBPC:
                              g["cp_sign_grid0"], lut, p0)
             return state
         paired = paired and self.coding_passes == 2
-        G = _group_size() if paired else 1
+        G = _group_size(state[0].shape[-1]) if paired else 1
         if G > 1:
             prog = self._grouped_prog(encode, G)
             for p0 in range(n_planes - 1, -1, -G):

@@ -237,13 +237,25 @@ def collect_rgb(stats_per_ch: list[_Stats], rgb: np.ndarray, levels: int,
 
 
 def probabilities(counts: np.ndarray) -> np.ndarray:
-    """counts (..., 2) -> 7-bit P(bit == 0), neutral 64 where unseen."""
+    """counts (..., 2) -> 7-bit P(bit == 0).
+
+    Krichevsky-Trofimov smoothing (+1/2 each symbol) with the 7-bit value
+    chosen to minimize the idealized expected codelength
+    -c0*log2(p/128) - c1*log2(1-p/128) over p in 1..127. KT keeps
+    low-count cells informative instead of snapping them to neutral 64 —
+    the previous total<16 cutoff wasted exactly the deep-level /
+    high-plane cells where the upstream reference tables still carried
+    signal (QUALITY.md r3: trained lost to reference by ~0.4% bpp on the
+    natural image; measured win from this estimator in PERF_NOTES.md).
+    Unseen cells (no events at all) stay at neutral 64."""
+    c0 = counts[..., 0].astype(np.float64) + 0.5
+    c1 = counts[..., 1].astype(np.float64) + 0.5
+    p = np.arange(1, 128, dtype=np.float64)
+    cost = -(c0[..., None] * np.log2(p / 128.0)
+             + c1[..., None] * np.log2(1.0 - p / 128.0))
+    prob = 1 + np.argmin(cost, axis=-1)
     total = counts.sum(axis=-1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p0 = counts[..., 0] / np.maximum(total, 1)
-    prob = np.rint(p0 * 128).astype(np.int64)
-    prob = np.clip(prob, 1, 127)
-    return np.where(total < 16, 64, prob).astype(np.int32)
+    return np.where(total < 1, 64, prob).astype(np.int32)
 
 
 def write_lut_folder(stats_per_ch: list[_Stats], out_dir: str,
@@ -298,7 +310,13 @@ def synthetic_ensemble(rng, count=12, size=512, video=False):
     specs = [(2, 0.0, 0), (4, 2.0, 1), (8, 4.0, 0), (16, 8.0, 2),
              (32, 1.0, 1), (2, 8.0, 0), (8, 16.0, 2), (4, 0.5, 1),
              (16, 2.0, 0), (6, 1.0, 2), (24, 4.0, 1), (3, 2.0, 2),
-             (8, 8.0, 0), (4, 12.0, 0)]
+             (8, 8.0, 0), (4, 12.0, 0),
+             # smooth-isotropic members (round 4): the natural-image class
+             # is dominated by long-correlation low-noise content, and the
+             # r3 ensemble under-weighted it — trained tables tied but
+             # did not beat the upstream ones there (QUALITY.md r3)
+             (20, 1.5, 0), (28, 2.0, 0), (24, 2.0, 0), (12, 2.0, 0),
+             (32, 3.0, 0), (18, 1.0, 0)]
     yy, xx = np.mgrid[0:size, 0:size]
     for i in range(count):
         sigma, namp, edge = specs[i % len(specs)]
