@@ -8,23 +8,26 @@ N streams with FRAME BATCHING (engine/batch.py): B frames' codeblocks ride
 one staged dispatch chain — bigger lane axis, 1/B dispatch overhead — and
 the host-side overlap comes from three thread roles:
 
-  reader thread   -> bounded queue of padded frame batches (disk + pad)
-  compute loop    -> enqueues device programs (async dispatch, no sync)
-  writer thread   -> packs + writes results, in batch order
+  reader thread     -> bounded queue of padded frame batches (disk + pad)
+  compute loop      -> enqueues device programs (async dispatch, no sync)
+  downloader thread -> ordered device->host drains, overlapping dispatch
+  writer thread     -> packs + writes results, in batch order
 
-Download scheduling has two modes (PICSONG_VIDEO_MODE):
+Download scheduling has two modes (PICSONG_VIDEO_MODE), differing only
+in the downloader queue depth:
 
-  defer (default)  enqueue EVERY batch's device work first, then drain
-                   downloads in order. Under the axon TPU tunnel the first
-                   device->host read permanently degrades dispatch ~1000x
-                   (PERF_NOTES.md), so downloads must come after the last
-                   dispatch. In-flight device output is bounded by
-                   max_inflight batches (HBM budget); longer videos drain
-                   in segments (later segments dispatch poisoned but
-                   correct).
-  overlap          eager per-batch downloads on the writer thread — the
-                   right schedule for conventional PJRT runtimes with no
-                   read penalty and unbounded video length.
+  defer (default)  deep queue (max_inflight batches = the HBM budget):
+                   the compute loop keeps dispatching while downloads
+                   drain on the downloader thread. Under the axon TPU
+                   tunnel the flat first-read transition runs on that
+                   background thread while dispatch continues at full
+                   speed, and the post-transition downloads overlap the
+                   degraded-mode dispatch (PERF_NOTES.md round-2 tunnel
+                   anatomy) — strictly better than the round-3 serial
+                   dispatch-all-then-drain schedule.
+  overlap          shallow queue (eager per-batch downloads) — the right
+                   schedule for conventional PJRT runtimes with no read
+                   penalty and unbounded video length.
 
 Encoded streams are downloaded as uint16 (a device-side cast halves the
 D2H transfer; codewords are 16-bit by construction).
@@ -288,10 +291,14 @@ def encode_video(input_path: str, output_path: str, cfg: CodecConfig,
             try:
                 for item in comp_outs:
                     td = time.perf_counter()
-                    if len(item) == 3:               # packed encode
-                        sizes, msbw, dense = item
-                        z = np.asarray(sizes)
-                        m = np.asarray(msbw)
+                    if not isinstance(item, tuple):  # fused packed encode
+                        # ONE device->host read per component: the fused
+                        # [sizes|msb|dense] buffer (fuse_packed) — the
+                        # tunnel's D2H cost is dominated by a per-read
+                        # component, not bytes (PERF_NOTES.md round 4)
+                        fused = np.asarray(item)
+                        z, m, dense = bpc_jax.StagedBPC.split_packed(
+                            fused, ncb_b)
                         bpc_jax.check_planes_bound(m, z, bound["n_planes"])
                         total = int(z.sum()) - len(z)
                         # compare against the capacity this batch was
@@ -304,8 +311,7 @@ def encode_video(input_path: str, output_path: str, cfg: CodecConfig,
                             retry = True
                             stats.download_s += time.perf_counter() - td
                             break
-                        host.append(("dense", m, z,
-                                     np.asarray(dense)[:total]))
+                        host.append(("dense", m, z, dense[:total]))
                     else:
                         s, z = np.asarray(item[0]), np.asarray(item[1])
                         bpc_jax.check_planes_bound(s[:, 0], z,
@@ -320,18 +326,27 @@ def encode_video(input_path: str, output_path: str, cfg: CodecConfig,
 
     def encode_one(frames_np):
         if use_pack:
-            return codec.encode_batch_packed(frames_np, bound["n_planes"],
+            outs = codec.encode_batch_packed(frames_np, bound["n_planes"],
                                              bound["bucket"])
+            return [bpc_jax.StagedBPC.fuse_packed(z, m, d)
+                    for z, m, d in outs]
         return codec.encode_batch(frames_np, bound["n_planes"])
 
     writer = _Writer(write_host_batch, depth=prefetch_depth)
-    overlap = _video_mode() == "overlap"
-    pending: list = []
-
-    def drain():
-        for bi, comp_outs in pending:
-            writer.put(bi, download_checked(bi, comp_outs))
-        pending.clear()
+    # Downloader thread (round 4): downloads overlap dispatch instead of
+    # serializing behind it. The compute loop keeps enqueuing device work
+    # while this thread drains batch outputs in order; the bounded queue
+    # (max_inflight) is the HBM budget the old pending-list drain
+    # enforced. Measured basis: the axon tunnel's flat first-read
+    # transition runs on a background thread while dispatch continues at
+    # full speed, and afterwards the ~15-40 MB/s downloads overlap the
+    # degraded-mode dispatch (PERF_NOTES.md round-2 tunnel anatomy).
+    # PICSONG_VIDEO_MODE=overlap keeps a shallow queue (eager downloads,
+    # the right schedule for conventional PJRT runtimes).
+    depth = prefetch_depth if _video_mode() == "overlap" else max_inflight
+    downloader = _Writer(
+        lambda bi, co: writer.put(bi, download_checked(bi, co)),
+        depth=depth)
 
     for bi in range(n_batches):
         tr = time.perf_counter()
@@ -351,11 +366,9 @@ def encode_video(input_path: str, output_path: str, cfg: CodecConfig,
         stats.compute_s += time.perf_counter() - tc
         stats.batches += 1
         tw = time.perf_counter()
-        pending.append((bi, comp_outs))
-        if overlap or len(pending) >= max_inflight:
-            drain()
+        downloader.put(bi, comp_outs)
         stats.writer_stall_s += time.perf_counter() - tw
-    drain()
+    downloader.join()
     writer.join()
     stats.writer_busy_s = writer.busy_s
     stats.n_planes = bound["n_planes"]
@@ -497,16 +510,17 @@ def decode_video(input_path: str, output_path: str, cfg: CodecConfig,
             print(f"\rframe {stats.frames}/{n_frames}", end="", flush=True)
 
     writer = _Writer(write_host_batch, depth=prefetch_depth)
-    overlap = _video_mode() == "overlap"
-    pending: list = []
 
-    def drain():
-        for bi, planes_dev in pending:
-            td = time.perf_counter()
-            planes = np.asarray(planes_dev)
-            stats.download_s += time.perf_counter() - td
-            writer.put(bi, planes)
-        pending.clear()
+    def _download(bi, planes_dev):
+        td = time.perf_counter()
+        planes = np.asarray(planes_dev)
+        stats.download_s += time.perf_counter() - td
+        writer.put(bi, planes)
+
+    # downloader thread: downloads overlap dispatch (see encode_video);
+    # queue depth = max_inflight is the HBM budget
+    depth = prefetch_depth if _video_mode() == "overlap" else max_inflight
+    downloader = _Writer(_download, depth=depth)
 
     for bi in range(n_batches):
         tr = time.perf_counter()
@@ -518,11 +532,9 @@ def decode_video(input_path: str, output_path: str, cfg: CodecConfig,
         stats.batches += 1
         stats.n_planes = max(stats.n_planes, n_planes)
         tw = time.perf_counter()
-        pending.append((bi, planes))
-        if overlap or len(pending) >= max_inflight:
-            drain()
+        downloader.put(bi, planes)
         stats.writer_stall_s += time.perf_counter() - tw
-    drain()
+    downloader.join()
     writer.join()
     stats.writer_busy_s = writer.busy_s
     if progress:

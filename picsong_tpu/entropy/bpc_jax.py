@@ -1568,6 +1568,29 @@ class StagedBPC:
                 g["sign_grid0"], lut)
         return self._finish_enc_packed(*state, msb, empty, bucket)
 
+    @staticmethod
+    @jax.jit
+    def fuse_packed(sizes, msb_words, dense):
+        """Fuse a packed encode's three outputs into ONE uint16 buffer.
+
+        Layout: [sizes (N)] [msb words (N)] [dense payload (bucket)].
+        Both sizes (<= 4096) and MSB words (<= 32) fit uint16. One fused
+        buffer means ONE device->host read per component per batch — the
+        tunnel's D2H cost has a large per-read component (measured
+        2026-08-21: ~20 s/batch across 3 reads at 1080p while dispatch
+        was 0.2 s; PERF_NOTES.md round 4), so read count, not bytes, is
+        the knob."""
+        return jnp.concatenate([sizes.astype(jnp.uint16),
+                                msb_words.astype(jnp.uint16),
+                                dense])
+
+    @staticmethod
+    def split_packed(fused: np.ndarray, n: int):
+        """Host-side inverse of fuse_packed: (sizes, msb_words, dense)."""
+        z = fused[:n].astype(np.int64)
+        m = fused[n:2 * n].astype(np.int32)
+        return z, m, fused[2 * n:]
+
     def _pack_dense_impl(self, streams, sizes, bucket: int):
         """Dense pack of already-finished (N, 4096) streams (the tail of
         _finish_enc_packed_impl, for the chunked-encode path)."""

@@ -356,6 +356,25 @@ def synthetic_ensemble(rng, count=12, size=512, video=False):
     return out
 
 
+def smooth_gray(rng, size: int, sigma: float, noise: float) -> np.ndarray:
+    """Smooth-isotropic grayscale member at an arbitrary geometry.
+
+    Large-geometry trainer input (--big-gray): level/subband statistics
+    shift with image size (a 2048^2 plane at wl=5 populates the deep
+    levels with far more energy than a 512^2 one), and tables trained at
+    512 only lose to the upstream reference tables at the BASELINE
+    config 2 geometry (QUALITY.md r4, 3.469 vs 3.446 bpp)."""
+    n = rng.normal(0, 1, size=(size, size))
+    f = np.fft.fft2(n)
+    fy = np.fft.fftfreq(size)[:, None]
+    fx = np.fft.fftfreq(size)[None, :]
+    img = np.real(np.fft.ifft2(
+        f * np.exp(-(fx ** 2 + fy ** 2) * (sigma * size / 8) ** 2)))
+    img = (img - img.min()) / max(np.ptp(img), 1e-9) * 255
+    return np.clip(img + rng.normal(0, noise, img.shape), 0,
+                   255).astype(np.uint8)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -373,6 +392,9 @@ def main() -> None:
     ap.add_argument("--video", action="store_true",
                     help="video-content ensemble (horizontal motion blur; "
                          "the analogue of LUT/video_{lossless,lossy})")
+    ap.add_argument("--big-gray", type=int, default=0,
+                    help="additional smooth-class grayscale images at "
+                         "2048^2 (large-geometry level/subband statistics)")
     args = ap.parse_args()
 
     stats = [_Stats(args.levels, args.bitplanes) for _ in range(3)]
@@ -390,6 +412,30 @@ def main() -> None:
         for i, img in enumerate(ens):
             collect_rgb(stats, img, args.levels, args.lossy, args.qs, bulk)
             print(f"  image {i + 1}/{len(ens)}: done "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        big_rng = np.random.default_rng(args.seed + 1000)
+        # class-mixed large-geometry members: all-smooth big images carry
+        # ~1024 blocks each and would swamp the 512 ensemble's statistics
+        # toward smooth content (measured: noisy-class bpp regressed from
+        # 5.53 to 5.70 with 3 smooth-only big members)
+        big_specs = [(24, 1.5), (4, 8.0), (2, 12.0), (12, 2.0),
+                     (28, 2.0), (8, 5.0)]
+        for j in range(args.big_gray):
+            # seeds disjoint from the 512 ensemble AND the held-out
+            # evaluation images (tools/quality_report.py uses seed 42).
+            # Collected into a temp and ADDED to every channel —
+            # collect_gray's pooling would overwrite the per-channel RGB
+            # statistics gathered above.
+            sigma, noise = big_specs[j % len(big_specs)]
+            img = smooth_gray(big_rng, 2048, sigma=sigma, noise=noise)
+            tmp = _Stats(args.levels, args.bitplanes)
+            collect_gray([tmp], img, args.levels, args.lossy, args.qs,
+                         bulk)
+            for st in stats:
+                for name in ("sig", "sign", "ref", "bsig", "bsign",
+                             "bref"):
+                    getattr(st, name)[...] += getattr(tmp, name)
+            print(f"  big-gray {j + 1}/{args.big_gray}: done "
                   f"({time.time() - t0:.0f}s)", flush=True)
     if args.no_bulk:
         for st in stats:
