@@ -337,7 +337,11 @@ def main() -> None:
                 raise
 
     from picsong_tpu.engine.pipeline import _decoder_mode, _encoder_mode
-    from picsong_tpu.entropy.bpc_jax import _group_size, _pair_enabled
+    from picsong_tpu.entropy.bpc_jax import _pair_enabled
+
+    def _group_size():
+        """Recorded plane-group policy: env override or 'adaptive'."""
+        return os.environ.get("PICSONG_STAGED_GROUP", "adaptive")
     rec = {
         "metric": (f"MPixels/s/chip encode+decode {mode} {size}x{size}"
                    + (" packed" if args.packed else "")),

@@ -1168,7 +1168,8 @@ def _auto_chunk(n_blocks: int) -> int:
     return 1024 if n_blocks > 2048 else 0
 
 
-def _group_size(n_blocks: int | None = None) -> int:
+def _group_size(n_blocks: int | None = None,
+                n_planes: int | None = None) -> int:
     """PICSONG_STAGED_GROUP=G (G > 1) codes G bitplanes per program.
 
     Each program is one nested fori_loop: outer over the G planes (the
@@ -1179,19 +1180,29 @@ def _group_size(n_blocks: int | None = None) -> int:
     and paired schedules (gated in tests/test_engine.py); planes below 0
     in the final partial group are inactive no-ops.
 
-    Default is ADAPTIVE (round 4): G=4 in the small/medium regime — the
-    round-3 measurement (512^2 wl=1: 551 MPix/s at G=4 vs 492 at G=8;
-    2048^2 wl=5: 0.86 ms) — but G=8 for large chunked codeblock batches,
-    where the round trip is dominated by per-chunk dispatch count
-    (8192^2, 16x1024-block chunks, 2026-08-20: G=8 1214 MPix/s median
-    vs G=4 1113, same-day same-tunnel; PERF_NOTES.md round 4)."""
+    Default is ADAPTIVE (round 4, all same-session on-chip measurements;
+    PERF_NOTES.md round 4):
+      - large batches (>= 1024 codeblocks, i.e. 2048^2+ and the 8K
+        chunks): G=8 — 2048^2 7549 MPix/s vs 4122 at G=4; 8K 1214 vs
+        1113.
+      - small/medium batches: G = n_planes capped at 16, so ALL planes
+        ride ONE grouped program per direction — the 512^2 regime is
+        dispatch-floor bound (~0.03 ms/dispatch, tools/dispatch_floor.py)
+        and fewer programs wins: 659 MPix/s at G=12 vs 604 at G=4,
+        same session. n_planes is quantized to multiples of 4
+        (planes_for_magnitude), so this adds at most a handful of
+        executables."""
     env = os.environ.get("PICSONG_STAGED_GROUP", "")
     if env:
         try:
             return max(int(env), 1)
         except ValueError:
             return 1
-    return 8 if (n_blocks or 0) >= 1024 else 4
+    if (n_blocks or 0) >= 1024:
+        return 8
+    if n_planes:
+        return min(n_planes, 16)
+    return 4
 
 
 def _pair_enabled() -> bool:
@@ -1538,7 +1549,7 @@ class StagedBPC:
                              g["cp_sign_grid0"], lut, p0)
             return state
         paired = paired and self.coding_passes == 2
-        G = _group_size(state[0].shape[-1]) if paired else 1
+        G = _group_size(state[0].shape[-1], n_planes) if paired else 1
         if G > 1:
             prog = self._grouped_prog(encode, G)
             for p0 in range(n_planes - 1, -1, -G):
