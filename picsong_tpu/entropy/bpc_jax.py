@@ -1198,7 +1198,11 @@ def _group_size(n_blocks: int | None = None,
             return max(int(env), 1)
         except ValueError:
             return 1
-    if (n_blocks or 0) >= 1024:
+    # >= 768 rather than 1024: the video engine's chunked batches end in
+    # a near-1024 tail chunk (e.g. 1008 blocks at 1080p batch 8), which
+    # belongs with the large regime — and must not mint its own
+    # G=n_planes executable
+    if (n_blocks or 0) >= 768:
         return 8
     if n_planes:
         return min(n_planes, 16)
