@@ -395,6 +395,13 @@ def main() -> None:
     ap.add_argument("--big-gray", type=int, default=0,
                     help="additional smooth-class grayscale images at "
                          "2048^2 (large-geometry level/subband statistics)")
+    ap.add_argument("--big-scale", type=int, default=8,
+                    help="weight ratio: the 512 ensemble's counts are "
+                         "multiplied by this before the big-geometry "
+                         "counts are added, so the big images inform the "
+                         "cells only they populate without swamping the "
+                         "class mix of the shared cells (a 2048^2 image "
+                         "carries ~16x the blocks of a 512^2 one)")
     args = ap.parse_args()
 
     stats = [_Stats(args.levels, args.bitplanes) for _ in range(3)]
@@ -420,6 +427,13 @@ def main() -> None:
         # 5.53 to 5.70 with 3 smooth-only big members)
         big_specs = [(24, 1.5), (4, 8.0), (2, 12.0), (12, 2.0),
                      (28, 2.0), (8, 5.0)]
+        if args.big_gray:
+            # scale the ensemble's counts up FIRST (integer-exact
+            # downweighting of the big images relative to it)
+            for st in stats:
+                for name in ("sig", "sign", "ref", "bsig", "bsign",
+                             "bref"):
+                    getattr(st, name)[...] *= args.big_scale
         for j in range(args.big_gray):
             # seeds disjoint from the 512 ensemble AND the held-out
             # evaluation images (tools/quality_report.py uses seed 42).
