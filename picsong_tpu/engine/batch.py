@@ -126,6 +126,17 @@ class BatchCodec:
     def _offset(self) -> int:
         return 0 if self.cfg.is_signed else (1 << (self.cfg.bit_depth - 1))
 
+    @property
+    def _meta_chunks(self):
+        """Per-chunk meta slices, built once per codec (see
+        pipeline.TPUCodec._meta_chunks)."""
+        if not hasattr(self, "_meta_chunks_cache"):
+            spans = bpc_jax.StagedBPC._spans(self.batch * self.ncb, None)
+            self._meta_chunks_cache = (
+                None if spans is None else
+                [tuple(m[s:e] for m in self._meta) for s, e in spans])
+        return self._meta_chunks_cache
+
     def _put(self, x, dtype=None):
         """Upload with the frame/codeblock axis sharded over the mesh.
 
@@ -256,14 +267,16 @@ class BatchCodec:
                     out.append(self._enc_comp_prog(blocks, lut, n_planes))
                 else:
                     s, z = self._staged.encode(blocks, lut, self._meta,
-                                               n_planes)
+                                               n_planes,
+                                               meta_chunks=self._meta_chunks)
                     out.append((self._cast16(s), z))
             return out
         if use_fused:
             return [self._enc_gray_prog(self._put(frames_u8), self.luts[0],
                                         n_planes)]
         blocks = self._prep_gray(self._put(frames_u8))
-        s, z = self._staged.encode(blocks, self.luts[0], self._meta, n_planes)
+        s, z = self._staged.encode(blocks, self.luts[0], self._meta, n_planes,
+                                   meta_chunks=self._meta_chunks)
         return [(self._cast16(s), z)]
 
     def encode_batch_packed(self, frames_u8: np.ndarray, n_planes: int,
@@ -282,8 +295,9 @@ class BatchCodec:
         out = []
         for i, blocks in enumerate(comps):
             lut = self.luts[min(i, len(self.luts) - 1)]
-            out.append(self._staged.encode_packed(blocks, lut, self._meta,
-                                                  n_planes, bucket))
+            out.append(self._staged.encode_packed(
+                blocks, lut, self._meta, n_planes, bucket,
+                meta_chunks=self._meta_chunks))
         return out
 
     def decode_batch(self, comp_streams, n_planes: int) -> np.ndarray:
@@ -307,8 +321,9 @@ class BatchCodec:
             if use_fused:
                 blocks.append(self._dec_comp_prog(s, z, lut, n_planes))
             else:
-                blocks.append(self._staged.decode(s, z, lut, self._meta,
-                                                  n_planes))
+                blocks.append(self._staged.decode(
+                    s, z, lut, self._meta, n_planes,
+                    meta_chunks=self._meta_chunks))
         if self.cfg.is_rgb:
             return self._finish_rgb(*blocks)
         return self._finish_gray(blocks[0])

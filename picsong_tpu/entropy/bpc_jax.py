@@ -1566,14 +1566,15 @@ class StagedBPC:
         return state
 
     def encode_packed(self, blocks, lut, meta, n_planes: int, bucket: int,
-                      chunk: int | None = None):
+                      chunk: int | None = None, meta_chunks=None):
         """Encode + device pack: (sizes, msb_words, dense_payload)."""
         spans = self._spans(blocks.shape[0], chunk)
         if spans:
             # chunked loop programs + one full-batch pack gather (the pack
             # is a single flat gather, not a loop program; see _auto_chunk)
             streams, sizes = self.encode(blocks, lut, meta, n_planes,
-                                         chunk=chunk)
+                                         chunk=chunk,
+                                         meta_chunks=meta_chunks)
             return self._pack_dense(streams, sizes, bucket)
         state, msb, consec, empty, g = self._init_enc(blocks, *meta)
         state = self._run_planes(state, msb, consec, g, lut, n_planes, True)
@@ -1700,17 +1701,22 @@ class StagedBPC:
         return [(s, min(s + c, n)) for s in range(0, n, c)]
 
     def encode(self, blocks, lut, meta, n_planes: int,
-               chunk: int | None = None):
+               chunk: int | None = None, meta_chunks=None):
         """blocks (N, 64, 64) int32 (device or host) -> (streams, sizes).
 
         chunk=None auto-splits very large codeblock batches (_auto_chunk);
-        pass an int to force a chunk size (0 disables)."""
+        pass an int to force a chunk size (0 disables). meta_chunks: an
+        optional pre-split list of per-chunk meta tuples (one per span) —
+        callers with long-lived geometry (TPUCodec) pass it so the six
+        metadata slices are not re-dispatched per chunk per call
+        (~6 x n_chunks dispatches saved at ~0.03 ms each)."""
         spans = self._spans(blocks.shape[0], chunk)
         if spans:
             outs = [self.encode(blocks[s:e], lut,
-                                tuple(m[s:e] for m in meta), n_planes,
+                                meta_chunks[i] if meta_chunks is not None
+                                else tuple(m[s:e] for m in meta), n_planes,
                                 chunk=0)
-                    for s, e in spans]
+                    for i, (s, e) in enumerate(spans)]
             return (jnp.concatenate([o[0] for o in outs]),
                     jnp.concatenate([o[1] for o in outs]))
         state, msb, consec, empty, g = self._init_enc(blocks, *meta)
@@ -1722,13 +1728,15 @@ class StagedBPC:
         return self._finish_enc(*state, msb, empty)
 
     def decode(self, streams, sizes, lut, meta, n_planes: int,
-               chunk: int | None = None):
+               chunk: int | None = None, meta_chunks=None):
         spans = self._spans(streams.shape[0], chunk)
         if spans:
             return jnp.concatenate(
                 [self.decode(streams[s:e], sizes[s:e], lut,
-                             tuple(m[s:e] for m in meta), n_planes, chunk=0)
-                 for s, e in spans])
+                             meta_chunks[i] if meta_chunks is not None
+                             else tuple(m[s:e] for m in meta), n_planes,
+                             chunk=0)
+                 for i, (s, e) in enumerate(spans)])
         state, msb, consec, is_raw, g = self._init_dec(streams, sizes, *meta)
         state = self._run_planes(state, msb, consec, g, lut, n_planes, False)
         if self.has_k and self.coding_passes == 2:
