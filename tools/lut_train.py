@@ -356,14 +356,17 @@ def synthetic_ensemble(rng, count=12, size=512, video=False):
     return out
 
 
-def smooth_gray(rng, size: int, sigma: float, noise: float) -> np.ndarray:
-    """Smooth-isotropic grayscale member at an arbitrary geometry.
+def smooth_gray(rng, size: int, sigma: float, noise: float,
+                edge: int = 0) -> np.ndarray:
+    """Grayscale member at an arbitrary geometry, optional edge overlay.
 
     Large-geometry trainer input (--big-gray): level/subband statistics
     shift with image size (a 2048^2 plane at wl=5 populates the deep
     levels with far more energy than a 512^2 one), and tables trained at
     512 only lose to the upstream reference tables at the BASELINE
-    config 2 geometry (QUALITY.md r4, 3.469 vs 3.446 bpp)."""
+    config 2 geometry (QUALITY.md r4, 3.469 vs 3.446 bpp). `edge` mirrors
+    the 512 ensemble's overlays (0=none, 1=blocks, 2=diag+disc) — all-
+    smooth big members measurably dilute the edge-class statistics."""
     n = rng.normal(0, 1, size=(size, size))
     f = np.fft.fft2(n)
     fy = np.fft.fftfreq(size)[:, None]
@@ -371,6 +374,17 @@ def smooth_gray(rng, size: int, sigma: float, noise: float) -> np.ndarray:
     img = np.real(np.fft.ifft2(
         f * np.exp(-(fx ** 2 + fy ** 2) * (sigma * size / 8) ** 2)))
     img = (img - img.min()) / max(np.ptp(img), 1e-9) * 255
+    yy, xx = np.mgrid[0:size, 0:size]
+    cell = size * 3 // 16
+    if edge == 1:
+        img = np.where(((yy // cell) + (xx // cell)) % 2 == 0, img,
+                       255.0 - img)
+    elif edge == 2:
+        img = np.where(((yy + xx) // (size // 8)) % 2 == 0, img,
+                       255.0 - img)
+        disc = ((yy - size // 2) ** 2 + (xx - size // 2) ** 2
+                < (size // 4) ** 2)
+        img = np.where(disc, 255.0 - img, img)
     return np.clip(img + rng.normal(0, noise, img.shape), 0,
                    255).astype(np.uint8)
 
@@ -424,9 +438,10 @@ def main() -> None:
         # class-mixed large-geometry members: all-smooth big images carry
         # ~1024 blocks each and would swamp the 512 ensemble's statistics
         # toward smooth content (measured: noisy-class bpp regressed from
-        # 5.53 to 5.70 with 3 smooth-only big members)
-        big_specs = [(24, 1.5), (4, 8.0), (2, 12.0), (12, 2.0),
-                     (28, 2.0), (8, 5.0)]
+        # 5.53 to 5.70 with 3 smooth-only big members; edge-free big
+        # members then cost the edge class ~0.6% — hence the overlays)
+        big_specs = [(24, 1.5, 0), (4, 8.0, 0), (12, 2.0, 1),
+                     (8, 3.0, 2), (28, 2.0, 0), (6, 6.0, 1)]
         if args.big_gray:
             # scale the ensemble's counts up FIRST (integer-exact
             # downweighting of the big images relative to it)
@@ -440,8 +455,9 @@ def main() -> None:
             # Collected into a temp and ADDED to every channel —
             # collect_gray's pooling would overwrite the per-channel RGB
             # statistics gathered above.
-            sigma, noise = big_specs[j % len(big_specs)]
-            img = smooth_gray(big_rng, 2048, sigma=sigma, noise=noise)
+            sigma, noise, edge = big_specs[j % len(big_specs)]
+            img = smooth_gray(big_rng, 2048, sigma=sigma, noise=noise,
+                              edge=edge)
             tmp = _Stats(args.levels, args.bitplanes)
             collect_gray([tmp], img, args.levels, args.lossy, args.qs,
                          bulk)
