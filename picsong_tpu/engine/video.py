@@ -114,6 +114,7 @@ class _Prefetcher:
 
     def __post_init__(self):
         self.q = queue.Queue(maxsize=self.depth)
+        self._stop = False
         self.t = threading.Thread(target=self._run, daemon=True)
         self.t.start()
 
@@ -122,15 +123,27 @@ class _Prefetcher:
             try:
                 item = (i, self.fetch(i))
             except BaseException as e:   # surfaced on the consumer's get()
-                self.q.put(_ReaderError(e))
+                item = _ReaderError(e)
+            while not self._stop:
+                try:
+                    self.q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            if self._stop or isinstance(item, _ReaderError):
                 return
-            self.q.put(item)
 
     def get(self):
         item = self.q.get()
         if isinstance(item, _ReaderError):
             raise item.exc
         return item
+
+    def close(self):
+        """Release the thread if the consumer stops early (error paths):
+        a reader blocked in q.put on a full queue would otherwise leak one
+        thread + one frame batch per failed call (ADVICE r4)."""
+        self._stop = True
 
 
 class _Writer:
@@ -175,6 +188,15 @@ class _Writer:
         self.t.join()
         if self.error is not None:
             raise self.error
+
+    def shutdown(self):
+        """Idempotent, non-raising sentinel + join for error-path cleanup:
+        without it, a raise during the compute loop or an earlier join
+        leaves this thread blocked on its queue forever — one leaked
+        thread per failed call in a long-lived process (ADVICE r4)."""
+        if self.t.is_alive():
+            self.q.put(None)
+            self.t.join()
 
 
 # --------------------------------------------------------------------------
@@ -348,28 +370,42 @@ def encode_video(input_path: str, output_path: str, cfg: CodecConfig,
         lambda bi, co: writer.put(bi, download_checked(bi, co)),
         depth=depth)
 
-    for bi in range(n_batches):
-        tr = time.perf_counter()
-        _, frames_np = reader.get()
-        stats.reader_stall_s += time.perf_counter() - tr
-        if "n_planes" not in bound:
-            first = ([frames_np[0][c] for c in range(3)] if cfg.is_rgb
-                     else frames_np[0])
-            bound["n_planes"] = host_plane_bound(cfg, first, codec.aw,
-                                                 codec.ah, extra_margin=2)
-            # device-pack payload capacity: start at 1/4 of the full
-            # buffer (ratio 2 with margin); overflow falls back to a full
-            # download and grows the bucket for later batches
-            bound["bucket"] = ncb_b * (spec.CBLOCK_SIZE // 4)
-        tc = time.perf_counter()
-        comp_outs = encode_one(frames_np)
-        stats.compute_s += time.perf_counter() - tc
-        stats.batches += 1
-        tw = time.perf_counter()
-        downloader.put(bi, comp_outs)
-        stats.writer_stall_s += time.perf_counter() - tw
-    downloader.join()
-    writer.join()
+    try:
+        for bi in range(n_batches):
+            tr = time.perf_counter()
+            _, frames_np = reader.get()
+            stats.reader_stall_s += time.perf_counter() - tr
+            if "n_planes" not in bound:
+                first = ([frames_np[0][c] for c in range(3)] if cfg.is_rgb
+                         else frames_np[0])
+                bound["n_planes"] = host_plane_bound(cfg, first, codec.aw,
+                                                     codec.ah,
+                                                     extra_margin=2)
+                # device-pack payload capacity: start at 1/4 of the full
+                # buffer (ratio 2 with margin); overflow falls back to a
+                # full download and grows the bucket for later batches
+                bound["bucket"] = ncb_b * (spec.CBLOCK_SIZE // 4)
+            # `bound` is written by the downloader thread's overflow
+            # retry (download_checked) and read here; the GIL makes the
+            # int reads/writes safe, and this fresh read means every
+            # batch dispatched AFTER a bump uses the corrected values —
+            # only batches already in flight pay one re-encode each
+            tc = time.perf_counter()
+            comp_outs = encode_one(frames_np)
+            stats.compute_s += time.perf_counter() - tc
+            stats.batches += 1
+            tw = time.perf_counter()
+            downloader.put(bi, comp_outs)
+            stats.writer_stall_s += time.perf_counter() - tw
+        downloader.join()
+        writer.join()
+    finally:
+        # error path: release all three threads (reader may be blocked in
+        # put, downloader/writer waiting on their queues) so a failed
+        # call never leaks threads (ADVICE r4)
+        reader.close()
+        downloader.shutdown()
+        writer.shutdown()
     stats.writer_busy_s = writer.busy_s
     stats.n_planes = bound["n_planes"]
     if progress:
@@ -407,17 +443,21 @@ def _encode_video_perframe(input_path, output_path, cfg, luts, params,
             print(f"\rframe {stats.frames}/{frames}", end="", flush=True)
 
     writer = _Writer(write_frame, depth=prefetch_depth)
-    for i in range(frames):
-        tr = time.perf_counter()
-        _, frame = reader.get()
-        stats.reader_stall_s += time.perf_counter() - tr
-        tc = time.perf_counter()
-        streams = codec.encode(frame)
-        stats.compute_s += time.perf_counter() - tc
-        tw = time.perf_counter()
-        writer.put(i, streams)
-        stats.writer_stall_s += time.perf_counter() - tw
-    writer.join()
+    try:
+        for i in range(frames):
+            tr = time.perf_counter()
+            _, frame = reader.get()
+            stats.reader_stall_s += time.perf_counter() - tr
+            tc = time.perf_counter()
+            streams = codec.encode(frame)
+            stats.compute_s += time.perf_counter() - tc
+            tw = time.perf_counter()
+            writer.put(i, streams)
+            stats.writer_stall_s += time.perf_counter() - tw
+        writer.join()
+    finally:
+        reader.close()
+        writer.shutdown()
     stats.writer_busy_s = writer.busy_s
     if progress:
         print()
@@ -522,20 +562,25 @@ def decode_video(input_path: str, output_path: str, cfg: CodecConfig,
     depth = prefetch_depth if _video_mode() == "overlap" else max_inflight
     downloader = _Writer(_download, depth=depth)
 
-    for bi in range(n_batches):
-        tr = time.perf_counter()
-        _, (comp_streams, n_planes) = reader.get()
-        stats.reader_stall_s += time.perf_counter() - tr
-        tc = time.perf_counter()
-        planes = codec.decode_batch(comp_streams, n_planes)
-        stats.compute_s += time.perf_counter() - tc
-        stats.batches += 1
-        stats.n_planes = max(stats.n_planes, n_planes)
-        tw = time.perf_counter()
-        downloader.put(bi, planes)
-        stats.writer_stall_s += time.perf_counter() - tw
-    downloader.join()
-    writer.join()
+    try:
+        for bi in range(n_batches):
+            tr = time.perf_counter()
+            _, (comp_streams, n_planes) = reader.get()
+            stats.reader_stall_s += time.perf_counter() - tr
+            tc = time.perf_counter()
+            planes = codec.decode_batch(comp_streams, n_planes)
+            stats.compute_s += time.perf_counter() - tc
+            stats.batches += 1
+            stats.n_planes = max(stats.n_planes, n_planes)
+            tw = time.perf_counter()
+            downloader.put(bi, planes)
+            stats.writer_stall_s += time.perf_counter() - tw
+        downloader.join()
+        writer.join()
+    finally:
+        reader.close()
+        downloader.shutdown()
+        writer.shutdown()
     stats.writer_busy_s = writer.busy_s
     if progress:
         print()
@@ -574,17 +619,21 @@ def _decode_video_perframe(input_path, output_path, cfg, luts, params,
             print(f"\rframe {stats.frames}/{n_frames}", end="", flush=True)
 
     writer = _Writer(write_frame, depth=prefetch_depth)
-    for i in range(n_frames):
-        tr = time.perf_counter()
-        _, comp_streams = reader.get()
-        stats.reader_stall_s += time.perf_counter() - tr
-        tc = time.perf_counter()
-        out = codec.decode(comp_streams)
-        stats.compute_s += time.perf_counter() - tc
-        tw = time.perf_counter()
-        writer.put(i, out)
-        stats.writer_stall_s += time.perf_counter() - tw
-    writer.join()
+    try:
+        for i in range(n_frames):
+            tr = time.perf_counter()
+            _, comp_streams = reader.get()
+            stats.reader_stall_s += time.perf_counter() - tr
+            tc = time.perf_counter()
+            out = codec.decode(comp_streams)
+            stats.compute_s += time.perf_counter() - tc
+            tw = time.perf_counter()
+            writer.put(i, out)
+            stats.writer_stall_s += time.perf_counter() - tw
+        writer.join()
+    finally:
+        reader.close()
+        writer.shutdown()
     stats.writer_busy_s = writer.busy_s
     if progress:
         print()

@@ -1545,7 +1545,10 @@ class StagedBPC:
         """Dispatch all bitplane passes (split / paired / plane-grouped)."""
         paired = _pair_enabled()
         if self.coding_passes == 3 and paired:
-            G = _group_size()
+            # same adaptive policy as cp=2 (ADVICE r4): the grouped cp=3
+            # program has the identical shape economics — G=8 for large
+            # batches, one program per direction for small ones
+            G = _group_size(state[0].shape[-1], n_planes)
             prog = self._cp3_grouped_prog(encode, G)
             for p0 in range(n_planes - 1, -1, -G):
                 state = prog(*state, msb, g["sig_grid0"], g["sign_grid0"],
