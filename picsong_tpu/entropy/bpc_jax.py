@@ -1379,13 +1379,38 @@ class StagedBPC:
             self._pair_dec = pair(False)
 
         self._init_enc = jax.jit(self._init_enc_impl)
+        # chunked-path inits: the chunk slice happens INSIDE the init
+        # program (dynamic_slice, static chunk size) instead of as a
+        # separate host-dispatched slice per chunk per call — one less
+        # dispatch and one less full-chunk buffer copy per chunk (the
+        # decoder previously paid slice + init passthrough = 2x its
+        # 16.8 MB chunk; round-5 8K decode-gap work)
+        self._init_enc_at = jax.jit(
+            lambda blocks, start, size, *meta: self._init_enc_impl(
+                jax.lax.dynamic_slice_in_dim(blocks, start, size, 0),
+                *meta),
+            static_argnums=(2,))
+        self._init_dec_at = jax.jit(
+            lambda streams, sizes, start, size, *meta: self._init_dec_impl(
+                jax.lax.dynamic_slice_in_dim(streams, start, size, 0),
+                jax.lax.dynamic_slice_in_dim(sizes, start, size, 0),
+                *meta),
+            static_argnums=(3,))
+        # Donate ONLY what can actually alias an output (counter -> sizes,
+        # out -> out). Donating the whole carry here raised "donated
+        # buffers were not usable" for te/to/low/resv on every run — noise
+        # that round 4 misread as a forced copy (an unusable donation
+        # allocates the output fresh exactly like no donation; there was
+        # never a copy). Keeping the donate list exact makes any REAL
+        # aliasing failure in the hot per-pass programs visible again.
         self._finish_enc = jax.jit(self._finish_enc_impl,
-                                   donate_argnums=tuple(range(7)))
+                                   donate_argnums=(5, 6))
         self._finish_enc_packed = jax.jit(self._finish_enc_packed_impl,
                                           static_argnums=(9,))
         self._init_dec = jax.jit(self._init_dec_impl)
-        self._finish_dec = jax.jit(self._finish_dec_impl,
-                                   donate_argnums=(0, 1))
+        # no finish-decode output matches te/to in shape+dtype; nothing
+        # can alias, so donation would only warn
+        self._finish_dec = jax.jit(self._finish_dec_impl)
         self.unpack_dense = jax.jit(self._unpack_dense_impl)
         self._pack_dense = jax.jit(self._pack_dense_impl,
                                    static_argnums=(2,))
@@ -1703,6 +1728,16 @@ class StagedBPC:
             return None
         return [(s, min(s + c, n)) for s in range(0, n, c)]
 
+    def _encode_tail(self, init_out, lut, n_planes: int):
+        """Shared pass-schedule + finish after either init variant."""
+        state, msb, consec, empty, g = init_out
+        state = self._run_planes(state, msb, consec, g, lut, n_planes, True)
+        if self.has_k and self.coding_passes == 2:
+            state = self._bulk_prog(True, n_planes)(
+                *state, msb, consec, empty, g["ref_b"], g["sig_grid0"],
+                g["sign_grid0"], lut)
+        return self._finish_enc(*state, msb, empty)
+
     def encode(self, blocks, lut, meta, n_planes: int,
                chunk: int | None = None, meta_chunks=None):
         """blocks (N, 64, 64) int32 (device or host) -> (streams, sizes).
@@ -1715,37 +1750,47 @@ class StagedBPC:
         (~6 x n_chunks dispatches saved at ~0.03 ms each)."""
         spans = self._spans(blocks.shape[0], chunk)
         if spans:
-            outs = [self.encode(blocks[s:e], lut,
-                                meta_chunks[i] if meta_chunks is not None
-                                else tuple(m[s:e] for m in meta), n_planes,
-                                chunk=0)
+            blocks = jnp.asarray(blocks, jnp.int32)
+            outs = [self._encode_tail(
+                        self._init_enc_at(
+                            blocks, s, e - s,
+                            *(meta_chunks[i] if meta_chunks is not None
+                              else tuple(m[s:e] for m in meta))),
+                        lut, n_planes)
                     for i, (s, e) in enumerate(spans)]
             return (jnp.concatenate([o[0] for o in outs]),
                     jnp.concatenate([o[1] for o in outs]))
-        state, msb, consec, empty, g = self._init_enc(blocks, *meta)
-        state = self._run_planes(state, msb, consec, g, lut, n_planes, True)
+        return self._encode_tail(self._init_enc(blocks, *meta), lut,
+                                 n_planes)
+
+    def _decode_tail(self, init_out, lut, n_planes: int):
+        """Pass schedule + finish; the codestream words come from the
+        carry's threaded streams buffer (state[6], returned unchanged by
+        every pass program), so no caller-side slice has to stay alive."""
+        state, msb, consec, is_raw, g = init_out
+        state = self._run_planes(state, msb, consec, g, lut, n_planes,
+                                 False)
         if self.has_k and self.coding_passes == 2:
-            state = self._bulk_prog(True, n_planes)(
-                *state, msb, consec, empty, g["ref_b"], g["sig_grid0"],
+            state = self._bulk_prog(False, n_planes)(
+                *state, msb, consec, g["ref_b"], g["sig_grid0"],
                 g["sign_grid0"], lut)
-        return self._finish_enc(*state, msb, empty)
+        return self._finish_dec(state[0], state[1], state[6], is_raw)
 
     def decode(self, streams, sizes, lut, meta, n_planes: int,
                chunk: int | None = None, meta_chunks=None):
         spans = self._spans(streams.shape[0], chunk)
         if spans:
+            streams = jnp.asarray(streams, jnp.int32)
+            sizes = jnp.asarray(sizes, jnp.int32)
             return jnp.concatenate(
-                [self.decode(streams[s:e], sizes[s:e], lut,
-                             meta_chunks[i] if meta_chunks is not None
-                             else tuple(m[s:e] for m in meta), n_planes,
-                             chunk=0)
+                [self._decode_tail(
+                     self._init_dec_at(
+                         streams, sizes, s, e - s,
+                         *(meta_chunks[i] if meta_chunks is not None
+                           else tuple(m[s:e] for m in meta))),
+                     lut, n_planes)
                  for i, (s, e) in enumerate(spans)])
-        state, msb, consec, is_raw, g = self._init_dec(streams, sizes, *meta)
-        state = self._run_planes(state, msb, consec, g, lut, n_planes, False)
-        if self.has_k and self.coding_passes == 2:
-            state = self._bulk_prog(False, n_planes)(
-                *state, msb, consec, g["ref_b"], g["sig_grid0"],
-                g["sign_grid0"], lut)
-        te, to = state[0], state[1]
-        return self._finish_dec(te, to, jnp.asarray(streams, jnp.int32),
-                                is_raw)
+        return self._decode_tail(
+            self._init_dec(jnp.asarray(streams, jnp.int32),
+                           jnp.asarray(sizes, jnp.int32), *meta),
+            lut, n_planes)
