@@ -37,6 +37,23 @@ def test_sharded_image_matches_single_device():
     assert np.array_equal(got, want)
 
 
+def test_sharded_mono_path_matches_single_device(monkeypatch):
+    """PICSONG_SHARDED_BPC=mono keeps the single-program coder wired as
+    the alternative multi-chip formulation; it must emit the same bytes
+    as the (default) staged path and the single-device engine."""
+    monkeypatch.setenv("PICSONG_SHARDED_BPC", "mono")
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(7)
+    img = make_image(rng, 256, 128)
+    cfg = CodecConfig(width=128, height=256, wavelet_levels=2)
+    lut = neutral_lut(PARAMS, 2, 2)
+    want = TPUCodec(cfg, [lut], PARAMS).encode(img)[0]
+    sharded = ShardedCodec(cfg, [lut], PARAMS, mesh)
+    got = sharded.encode(img)[0]
+    assert np.array_equal(got, want)
+    assert np.array_equal(sharded.decode([got]), img)
+
+
 def test_sharded_decode_roundtrip():
     mesh = make_mesh(2)
     rng = np.random.default_rng(1)
