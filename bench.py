@@ -498,11 +498,32 @@ def main() -> None:
                 emit(final=True)
                 return
         RESULTS["configs"][c.name] = c.report()
-    # Phase 2: correctness (first device reads of the process).
+
+    # Phase 2: video frames/s (BASELINE config 4). Runs BEFORE the image
+    # verifies: the first D2H of the process pays the tunnel's flat
+    # transition (46-556 s, day-dependent), and the video engine has to
+    # download its streams anyway — running it first absorbs the
+    # transition into video's measured download_s instead of burning it
+    # as a dead wait in the verify phase (which then costs ~seconds).
+    # The image configs' timed loops are all done, so the post-read
+    # dispatch degradation cannot touch any recorded image number.
+    if not single:
+        if remaining() < 150:
+            RESULTS["configs"]["video_1080p"] = {
+                "skipped": f"budget: {remaining():.0f}s left"}
+        else:
+            try:
+                RESULTS["configs"]["video_1080p"] = VideoBench().run()
+            except Exception as e:                   # noqa: BLE001
+                RESULTS["configs"]["video_1080p"] = {
+                    "error": f"{type(e).__name__}: {e}"}
+
+    # Phase 3: correctness. On a transition-already-paid process each
+    # verify is a small comparison program + scalar read.
     for c in configs:
         if c.error or c.skipped:
             continue
-        if c is not head and remaining() < 60:
+        if c is not head and remaining() < 30:
             RESULTS["configs"][c.name] = c.report()   # verified: skipped
             continue
         try:
@@ -514,20 +535,6 @@ def main() -> None:
                 return
         if c is not head:
             RESULTS["configs"][c.name] = c.report()
-
-    # Phase 3: video frames/s (BASELINE config 4). Runs dead last — its
-    # drain downloads mid-run, which is only safe after every image
-    # config's timed loop is done.
-    if not single:
-        if remaining() < 150:
-            RESULTS["configs"]["video_1080p"] = {
-                "skipped": f"budget: {remaining():.0f}s left"}
-        else:
-            try:
-                RESULTS["configs"]["video_1080p"] = VideoBench().run()
-            except Exception as e:                   # noqa: BLE001
-                RESULTS["configs"]["video_1080p"] = {
-                    "error": f"{type(e).__name__}: {e}"}
     emit(final=True)
 
 

@@ -118,6 +118,22 @@ def test_trained_lut_matches_or_beats_reference(cls):
         f"{cls}: trained {trained_bytes} > reference {ref_bytes}")
 
 
+def test_trained_lut_matches_or_beats_reference_2048():
+    """Large-geometry gate (BASELINE config 2 geometry; VERDICT r4
+    missing #3): level/subband statistics shift with image size, and the
+    r4 tables lost to the reference at 2048^2 natural (3.469 vs 3.446
+    bpp). The round-5 tables add class-mixed 2048^2 training members
+    with edge overlays (tools/lut_train.py --big-gray 4 --big-scale 8)
+    and win every class at every geometry (512/256/2048 sweep recorded
+    in PERF_NOTES/QUALITY.md). One 2048 class here keeps the gate
+    affordable; natural is the class that regressed."""
+    img = natural_image(size=2048)
+    ref_bytes = encode_bytes(img, REFERENCE_LUTS)
+    trained_bytes = encode_bytes(img, TRAINED_LUTS)
+    assert trained_bytes <= ref_bytes, (
+        f"2048 natural: trained {trained_bytes} > reference {ref_bytes}")
+
+
 def test_trained_lossy_lut_matches_or_beats_reference():
     """Same gate for the 9/7 path against the upstream n1_lossy tables
     (quantization is identical, so bytes are the whole comparison)."""
