@@ -126,6 +126,9 @@ def _snapshot() -> dict:
         pass
     rec["budget_s"] = BUDGET_S
     rec["elapsed_s"] = round(elapsed(), 1)
+    for k in ("phase1_s", "video_done_s"):
+        if k in RESULTS:
+            rec[k] = RESULTS[k]
     if not RESULTS["single"]:
         rec["extra"] = dict(RESULTS["configs"])
     return rec
@@ -326,6 +329,7 @@ class VideoBench:
         self.frames, self.width, self.height = frames, width, height
         self.batch = batch
         self.full = full  # --video: unconditional cold+warm pairs
+        self.rec: dict = {}  # mutated in place; see _run
 
     def run(self) -> dict:
         from picsong_tpu.core.header import CodecConfig
@@ -369,17 +373,24 @@ class VideoBench:
                     for k in ("wall_s", "compute_s", "download_s",
                               "reader_stall_s", "writer_stall_s")}
 
-        e1 = encode_video(raw, enc, cfg, [lut], params, **kw)
-        rec = {
+        # self.rec is registered in RESULTS BEFORE the runs and mutated
+        # in place, so a watchdog firing mid-video still records every
+        # completed sub-run instead of dropping the video evidence
+        rec = self.rec
+        rec.update({
             "frames": self.frames, "batch": self.batch,
             "geometry": f"{self.width}x{self.height} gray wl=3 lossless",
+            "status": "encode running",
+        })
+        e1 = encode_video(raw, enc, cfg, [lut], params, **kw)
+        rec.update({
             "encode_fps": fps(e1), "encode_fps_compute": cfps(e1),
-            "encode_stats": detail(e1),
+            "encode_stats": detail(e1), "status": "decode pending",
             # provenance: wall fps includes tunnel D2H (download_s); the
             # compute fps is the chip-side ceiling (dispatch+enqueue time)
             "fps_note": ("wall fps includes tunnel download_s; "
                          "*_compute = frames/compute_s chip ceiling"),
-        }
+        })
         # warm encode only if its projected cost fits the budget
         if self.full or remaining() > 2.0 * e1.wall_s + 60:
             e2 = encode_video(raw, enc, cfg, [lut], params, **kw)
@@ -398,6 +409,7 @@ class VideoBench:
         with open(raw, "rb") as f, open(dec, "rb") as g:
             exact = f.read() == g.read()
         rec["lossless_bitexact"] = exact
+        rec.pop("status", None)
         if not exact:
             rec["error"] = "video round trip not bit-exact"
         return rec
@@ -507,16 +519,21 @@ def main() -> None:
     # as a dead wait in the verify phase (which then costs ~seconds).
     # The image configs' timed loops are all done, so the post-read
     # dispatch degradation cannot touch any recorded image number.
+    RESULTS["phase1_s"] = round(elapsed(), 1)
     if not single:
         if remaining() < 150:
             RESULTS["configs"]["video_1080p"] = {
                 "skipped": f"budget: {remaining():.0f}s left"}
         else:
+            vb = VideoBench()
+            # live registration: a watchdog firing mid-video still
+            # records the completed sub-runs (vb.rec mutates in place)
+            RESULTS["configs"]["video_1080p"] = vb.rec
             try:
-                RESULTS["configs"]["video_1080p"] = VideoBench().run()
+                vb.run()
             except Exception as e:                   # noqa: BLE001
-                RESULTS["configs"]["video_1080p"] = {
-                    "error": f"{type(e).__name__}: {e}"}
+                vb.rec["error"] = f"{type(e).__name__}: {e}"
+    RESULTS["video_done_s"] = round(elapsed(), 1)
 
     # Phase 3: correctness. On a transition-already-paid process each
     # verify is a small comparison program + scalar read.
