@@ -1209,6 +1209,22 @@ def _group_size(n_blocks: int | None = None,
     return 4
 
 
+def _fused_dir_enabled() -> bool:
+    """PICSONG_STAGED_FUSED=1 fuses init + all-plane loop + finish into
+    ONE program per direction when a single grouped program covers every
+    plane (StagedBPC._fused_dir_ok). Bytes identical (gated in
+    tests/test_engine.py). DEFAULT ON since round 5: same-session
+    fresh-process A/B, blocked medians (PERF_NOTES round-5 fusion
+    section) — 512^2 0.654 -> 0.293 ms, 2048^2 0.447 -> 0.278 and
+    0.727 -> 0.356 ms (two alternating pairings), 8K 6.976 -> 2.445 ms.
+    The fused program keeps the (66,33,N) carry in VMEM across
+    init -> plane loop -> finish instead of round-tripping it through
+    HBM at each boundary. (Unlike r3's REVERTED endpoint fusion, the
+    multi-level DWT stays in its own programs.) Set =0 for the split
+    endpoints."""
+    return os.environ.get("PICSONG_STAGED_FUSED", "1") == "1"
+
+
 def _pair_enabled() -> bool:
     """PICSONG_STAGED_PAIR=1 (default) runs SPP+MRP as one program per
     plane.
@@ -1365,6 +1381,7 @@ class StagedBPC:
         self._group_progs: dict = {}
         self._cp3_progs: dict = {}
         self._bulk_progs: dict = {}
+        self._fused_dir_progs: dict = {}
 
         three = coding_passes == 3
         self._spp_enc = spp(True, three)
@@ -1514,6 +1531,112 @@ class StagedBPC:
         if key not in self._group_progs:
             self._group_progs[key] = self._pair_group(encode, G)
         return self._group_progs[key]
+
+    # -- fused whole-direction programs (round 5) --------------------------
+
+    def _fused_dir_prog(self, encode: bool, G: int, at: bool):
+        """init + all-planes grouped loop + finish as ONE program.
+
+        Applicable when one grouped program already covers every plane
+        (G >= n_planes, cp=2, k=0): fusing the loopless endpoints into it
+        keeps exactly ONE big-carry fori_loop per program (rule 3) while
+        cutting a direction from 3 programs to 1 — the dispatch-floor
+        lever the speed-of-light analysis identifies for the 512^2 and
+        chunked-8K regimes. Differs from the REVERTED r3 endpoint fusion
+        (69aef9d), which pulled the multi-level DWT into these programs;
+        here the DWT/tiling programs stay separate. `at` variants take
+        (full_array, start) and slice inside (the chunked path).
+        Measured on-chip before adoption; selected via
+        PICSONG_STAGED_FUSED (see _fused_dir_enabled)."""
+        key = (encode, G, at)
+        if key in self._fused_dir_progs:
+            return self._fused_dir_progs[key]
+        prec = self.params.mult_precision
+
+        def loop(state, msb, consec, g, lut, plane0):
+            te, to = state[0], state[1]
+            ac = state[2:]
+            lutmax = lut.shape[0] - 1
+            sig_grid0, sign_grid0, ref_b = (g["sig_grid0"],
+                                            g["sign_grid0"], g["ref_b"])
+
+            def body(gi, st):
+                plane = plane0 - gi
+                act = ((plane <= msb) & (plane >= consec) & (plane >= 0))
+                sig9 = lut[jnp.clip(sig_grid0 + plane * 9, 0, lutmax)]
+                sign4 = lut[jnp.clip(sign_grid0 + plane * 4, 0, lutmax)]
+                ref1 = lut[jnp.clip(ref_b + plane, 0, lutmax)]
+                te_, to_, ac_ = st
+                return _spp_mrp_pass((te_, to_, ac_), plane, act, sig9,
+                                     sign4, ref1, prec, encode)
+
+            te2, to2, ac2 = jax.lax.fori_loop(0, G, body, (te, to, ac))
+            return te2, to2, ac2
+
+        if encode:
+            def core(blocks, meta, lut, plane0):
+                state, msb, consec, empty, g = self._init_enc_impl(
+                    blocks, *meta)
+                te2, to2, ac2 = loop(state, msb, consec, g, lut, plane0)
+                return self._finish_enc_impl(te2, to2, *ac2, msb, empty)
+
+            if at:
+                def impl(blocks, start, size, ref_base, sig_base,
+                         sign_base, cp_sig_base, cp_sign_base, k_over_l2,
+                         lut, plane0):
+                    chunk = jax.lax.dynamic_slice_in_dim(blocks, start,
+                                                         size, 0)
+                    return core(chunk, (ref_base, sig_base, sign_base,
+                                        cp_sig_base, cp_sign_base,
+                                        k_over_l2), lut, plane0)
+                prog = jax.jit(impl, static_argnums=(2,))
+            else:
+                def impl(blocks, ref_base, sig_base, sign_base,
+                         cp_sig_base, cp_sign_base, k_over_l2, lut,
+                         plane0):
+                    return core(blocks, (ref_base, sig_base, sign_base,
+                                         cp_sig_base, cp_sign_base,
+                                         k_over_l2), lut, plane0)
+                prog = jax.jit(impl)
+        else:
+            def core(streams, sizes, meta, lut, plane0):
+                state, msb, consec, is_raw, g = self._init_dec_impl(
+                    streams, sizes, *meta)
+                te2, to2, ac2 = loop(state, msb, consec, g, lut, plane0)
+                return self._finish_dec_impl(te2, to2, ac2[4], is_raw)
+
+            if at:
+                def impl(streams, sizes, start, size, ref_base, sig_base,
+                         sign_base, cp_sig_base, cp_sign_base, k_over_l2,
+                         lut, plane0):
+                    s = jax.lax.dynamic_slice_in_dim(streams, start,
+                                                     size, 0)
+                    z = jax.lax.dynamic_slice_in_dim(sizes, start, size, 0)
+                    return core(s, z, (ref_base, sig_base, sign_base,
+                                       cp_sig_base, cp_sign_base,
+                                       k_over_l2), lut, plane0)
+                prog = jax.jit(impl, static_argnums=(3,))
+            else:
+                def impl(streams, sizes, ref_base, sig_base, sign_base,
+                         cp_sig_base, cp_sign_base, k_over_l2, lut,
+                         plane0):
+                    return core(streams, sizes,
+                                (ref_base, sig_base, sign_base,
+                                 cp_sig_base, cp_sign_base, k_over_l2),
+                                lut, plane0)
+                prog = jax.jit(impl)
+        self._fused_dir_progs[key] = prog
+        return prog
+
+    def _fused_dir_ok(self, n_blocks: int, n_planes: int) -> bool:
+        """Whole-direction fusion applies when ONE grouped program would
+        cover every plane anyway (and the schedule is the paired cp=2,
+        k=0 one)."""
+        if not _fused_dir_enabled():
+            return False
+        if self.coding_passes != 2 or self.has_k or not _pair_enabled():
+            return False
+        return _group_size(n_blocks, n_planes) >= n_planes
 
     def _cp3_grouped_prog(self, encode: bool, G: int):
         key = (encode, G)
@@ -1751,15 +1874,25 @@ class StagedBPC:
         spans = self._spans(blocks.shape[0], chunk)
         if spans:
             blocks = jnp.asarray(blocks, jnp.int32)
-            outs = [self._encode_tail(
-                        self._init_enc_at(
-                            blocks, s, e - s,
-                            *(meta_chunks[i] if meta_chunks is not None
-                              else tuple(m[s:e] for m in meta))),
-                        lut, n_planes)
-                    for i, (s, e) in enumerate(spans)]
+            chunk_meta = (meta_chunks if meta_chunks is not None
+                          else [tuple(m[s:e] for m in meta)
+                                for s, e in spans])
+            if self._fused_dir_ok(spans[0][1] - spans[0][0], n_planes):
+                prog = self._fused_dir_prog(True, n_planes, True)
+                outs = [prog(blocks, s, e - s, *chunk_meta[i], lut,
+                             n_planes - 1)
+                        for i, (s, e) in enumerate(spans)]
+            else:
+                outs = [self._encode_tail(
+                            self._init_enc_at(blocks, s, e - s,
+                                              *chunk_meta[i]),
+                            lut, n_planes)
+                        for i, (s, e) in enumerate(spans)]
             return (jnp.concatenate([o[0] for o in outs]),
                     jnp.concatenate([o[1] for o in outs]))
+        if self._fused_dir_ok(blocks.shape[0], n_planes):
+            return self._fused_dir_prog(True, n_planes, False)(
+                jnp.asarray(blocks, jnp.int32), *meta, lut, n_planes - 1)
         return self._encode_tail(self._init_enc(blocks, *meta), lut,
                                  n_planes)
 
@@ -1782,14 +1915,25 @@ class StagedBPC:
         if spans:
             streams = jnp.asarray(streams, jnp.int32)
             sizes = jnp.asarray(sizes, jnp.int32)
+            chunk_meta = (meta_chunks if meta_chunks is not None
+                          else [tuple(m[s:e] for m in meta)
+                                for s, e in spans])
+            if self._fused_dir_ok(spans[0][1] - spans[0][0], n_planes):
+                prog = self._fused_dir_prog(False, n_planes, True)
+                return jnp.concatenate(
+                    [prog(streams, sizes, s, e - s, *chunk_meta[i], lut,
+                          n_planes - 1)
+                     for i, (s, e) in enumerate(spans)])
             return jnp.concatenate(
                 [self._decode_tail(
-                     self._init_dec_at(
-                         streams, sizes, s, e - s,
-                         *(meta_chunks[i] if meta_chunks is not None
-                           else tuple(m[s:e] for m in meta))),
+                     self._init_dec_at(streams, sizes, s, e - s,
+                                       *chunk_meta[i]),
                      lut, n_planes)
                  for i, (s, e) in enumerate(spans)])
+        if self._fused_dir_ok(streams.shape[0], n_planes):
+            return self._fused_dir_prog(False, n_planes, False)(
+                jnp.asarray(streams, jnp.int32),
+                jnp.asarray(sizes, jnp.int32), *meta, lut, n_planes - 1)
         return self._decode_tail(
             self._init_dec(jnp.asarray(streams, jnp.int32),
                            jnp.asarray(sizes, jnp.int32), *meta),

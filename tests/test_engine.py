@@ -288,6 +288,31 @@ def test_staged_plane_group_bitexact(group, monkeypatch):
     bpc_jax._staged_cache.clear()
 
 
+@pytest.mark.parametrize("chunked", [False, True])
+def test_staged_fused_direction_bitexact(chunked, monkeypatch):
+    """PICSONG_STAGED_FUSED=1 fuses init + the all-planes grouped loop +
+    finish into ONE program per direction when a single grouped program
+    covers every plane (bpc_jax.StagedBPC._fused_dir_prog). Bytes must
+    equal the split-endpoint schedule's exactly, unchunked AND through
+    the chunked (_at, dynamic-slice-inside) path with an uneven tail."""
+    from picsong_tpu.entropy import bpc_jax
+    rng = np.random.default_rng(23)
+    img = make_image(rng, 64, 320)
+    cfg = CodecConfig(width=320, height=64, wavelet_levels=1)
+    lut = neutral_lut(PARAMS, 1, 2)
+    kw = dict(chunk_blocks=3) if chunked else {}
+    monkeypatch.setenv("PICSONG_STAGED_FUSED", "0")
+    bpc_jax._staged_cache.clear()
+    want = TPUCodec(cfg, [lut], PARAMS, **kw).encode(img)
+    monkeypatch.setenv("PICSONG_STAGED_FUSED", "1")
+    bpc_jax._staged_cache.clear()
+    codec = TPUCodec(cfg, [lut], PARAMS, **kw)
+    got = codec.encode(img)
+    assert np.array_equal(got[0], want[0]), "fused-direction stream differs"
+    assert np.array_equal(codec.decode(got), img)
+    bpc_jax._staged_cache.clear()
+
+
 def test_unpack_dense_matches_host_layout():
     """StagedBPC.unpack_dense (device-side inverse of encode_packed) must
     reproduce the host unpack_streams layout exactly: word 0 = MSB, words
