@@ -1537,8 +1537,8 @@ class StagedBPC:
     def _fused_dir_prog(self, encode: bool, G: int, at: bool):
         """init + all-planes grouped loop + finish as ONE program.
 
-        Applicable when one grouped program already covers every plane
-        (G >= n_planes, cp=2, k=0): fusing the loopless endpoints into it
+        Applicable when one grouped program covers every plane
+        (G = n_planes, cp=2 or cp=3, k=0): fusing the loopless endpoints into it
         keeps exactly ONE big-carry fori_loop per program (rule 3) while
         cutting a direction from 3 programs to 1 — the dispatch-floor
         lever the speed-of-light analysis identifies for the 512^2 and
@@ -1553,6 +1553,8 @@ class StagedBPC:
             return self._fused_dir_progs[key]
         prec = self.params.mult_precision
 
+        three = self.coding_passes == 3
+
         def loop(state, msb, consec, g, lut, plane0):
             te, to = state[0], state[1]
             ac = state[2:]
@@ -1562,22 +1564,52 @@ class StagedBPC:
 
             def body(gi, st):
                 plane = plane0 - gi
-                act = ((plane <= msb) & (plane >= consec) & (plane >= 0))
                 sig9 = lut[jnp.clip(sig_grid0 + plane * 9, 0, lutmax)]
                 sign4 = lut[jnp.clip(sign_grid0 + plane * 4, 0, lutmax)]
                 ref1 = lut[jnp.clip(ref_b + plane, 0, lutmax)]
                 te_, to_, ac_ = st
+                if three:
+                    spp_act = (plane < msb) & (plane >= 0)
+                    cp_act = (plane <= msb) & (plane >= 0)
+                    cpsig9 = lut[jnp.clip(g["cp_sig_grid0"] + plane * 9,
+                                          0, lutmax)]
+                    cpsign4 = lut[jnp.clip(g["cp_sign_grid0"] + plane * 4,
+                                           0, lutmax)]
+                    return _spp_mrp_cp_pass((te_, to_, ac_), plane, spp_act,
+                                            cp_act, sig9, sign4, ref1,
+                                            cpsig9, cpsign4, prec, encode)
+                act = ((plane <= msb) & (plane >= consec) & (plane >= 0))
                 return _spp_mrp_pass((te_, to_, ac_), plane, act, sig9,
                                      sign4, ref1, prec, encode)
 
             te2, to2, ac2 = jax.lax.fori_loop(0, G, body, (te, to, ac))
             return te2, to2, ac2
 
+        bulk_k = self.has_k and self.coding_passes == 2
+
+        def bulk(te, to, ac, msb, consec, empty, g, lut):
+            """The -k bulk pass, fused after the plane loop (PICSONG_FUSED_K).
+
+            A SECOND top-level loop in the same program — the one deliberate
+            exception to rule 3, adopted only if the on-chip A/B holds (the
+            rule's evidence came from the mono coder's many-loop chains)."""
+            entry = jnp.minimum(consec, jnp.maximum(msb, 0)) - 1
+            entry = jnp.where(consec > msb, msb, entry)
+            act = entry >= 0
+            if empty is not None:
+                act = act & ~empty
+            return _bulk_pass((te, to, ac), jnp.maximum(entry, 0), act,
+                              (g["ref_b"], g["sig_grid0"], g["sign_grid0"]),
+                              lut, prec, G, encode)
+
         if encode:
             def core(blocks, meta, lut, plane0):
                 state, msb, consec, empty, g = self._init_enc_impl(
                     blocks, *meta)
                 te2, to2, ac2 = loop(state, msb, consec, g, lut, plane0)
+                if bulk_k:
+                    te2, to2, ac2 = bulk(te2, to2, ac2, msb, consec, empty,
+                                         g, lut)
                 return self._finish_enc_impl(te2, to2, *ac2, msb, empty)
 
             if at:
@@ -1603,6 +1635,9 @@ class StagedBPC:
                 state, msb, consec, is_raw, g = self._init_dec_impl(
                     streams, sizes, *meta)
                 te2, to2, ac2 = loop(state, msb, consec, g, lut, plane0)
+                if bulk_k:
+                    te2, to2, ac2 = bulk(te2, to2, ac2, msb, consec, None,
+                                         g, lut)
                 return self._finish_dec_impl(te2, to2, ac2[4], is_raw)
 
             if at:
@@ -1629,14 +1664,32 @@ class StagedBPC:
         return prog
 
     def _fused_dir_ok(self, n_blocks: int, n_planes: int) -> bool:
-        """Whole-direction fusion applies when ONE grouped program would
-        cover every plane anyway (and the schedule is the paired cp=2,
-        k=0 one)."""
+        """Whole-direction fusion applies when one program can cover every
+        plane (cp=2 or cp=3, k=0, paired schedule): the fused program loops
+        all n_planes, so the adaptive split-schedule G (which balanced
+        per-program carry streaming against dispatch count) is irrelevant
+        here — there is exactly ONE program per direction either way.
+        Capped at PICSONG_FUSED_MAXPLANES (default 16, the same quantized
+        cap as _group_size) so pathological plane counts (deep lossy
+        16-bit content) keep the split schedule; 9..16-plane large
+        batches — i.e. the 16-plane lossy 2048^2/8K-chunk regime — fuse
+        since round 5 (on-chip A/B in PERF_NOTES round-5 fusion section)."""
         if not _fused_dir_enabled():
             return False
-        if self.coding_passes != 2 or self.has_k or not _pair_enabled():
+        if not _pair_enabled():
             return False
-        return _group_size(n_blocks, n_planes) >= n_planes
+        if self.has_k and not (self.coding_passes == 2
+                               and os.environ.get("PICSONG_FUSED_K") == "1"):
+            # k > 0 fusion appends the bulk pass as a SECOND top-level
+            # loop in the fused program — opt-in until the on-chip A/B
+            # says the two-loop program keeps its aliasing (rule 3)
+            return False
+        env = os.environ.get("PICSONG_FUSED_MAXPLANES", "")
+        try:
+            cap = int(env) if env else 16
+        except ValueError:
+            cap = 16
+        return n_planes <= cap
 
     def _cp3_grouped_prog(self, encode: bool, G: int):
         key = (encode, G)

@@ -288,19 +288,28 @@ def test_staged_plane_group_bitexact(group, monkeypatch):
     bpc_jax._staged_cache.clear()
 
 
-@pytest.mark.parametrize("chunked", [False, True])
-def test_staged_fused_direction_bitexact(chunked, monkeypatch):
+@pytest.mark.parametrize("chunked,group,cp", [(False, "", 2), (True, "", 2),
+                                              (False, "4", 2), (True, "4", 2),
+                                              (False, "", 3), (True, "4", 3)])
+def test_staged_fused_direction_bitexact(chunked, group, cp, monkeypatch):
     """PICSONG_STAGED_FUSED=1 fuses init + the all-planes grouped loop +
-    finish into ONE program per direction when a single grouped program
-    covers every plane (bpc_jax.StagedBPC._fused_dir_prog). Bytes must
-    equal the split-endpoint schedule's exactly, unchunked AND through
-    the chunked (_at, dynamic-slice-inside) path with an uneven tail."""
+    finish into ONE program per direction (bpc_jax.StagedBPC
+    ._fused_dir_prog). Bytes must equal the split-endpoint schedule's
+    exactly, unchunked AND through the chunked (_at, dynamic-slice-inside)
+    path with an uneven tail. The group="4" cases pin the split schedule's
+    G BELOW the image's plane count, exercising the round-5 extension
+    where the fused program covers MORE planes than one split grouped
+    program would (the 16-plane lossy large-batch regime). cp=3 cases
+    gate the round-5 three-pass fused direction (_spp_mrp_cp_pass body)."""
     from picsong_tpu.entropy import bpc_jax
     rng = np.random.default_rng(23)
     img = make_image(rng, 64, 320)
-    cfg = CodecConfig(width=320, height=64, wavelet_levels=1)
-    lut = neutral_lut(PARAMS, 1, 2)
+    cfg = CodecConfig(width=320, height=64, wavelet_levels=1,
+                      coding_passes=cp)
+    lut = neutral_lut(PARAMS, 1, cp)
     kw = dict(chunk_blocks=3) if chunked else {}
+    if group:
+        monkeypatch.setenv("PICSONG_STAGED_GROUP", group)
     monkeypatch.setenv("PICSONG_STAGED_FUSED", "0")
     bpc_jax._staged_cache.clear()
     want = TPUCodec(cfg, [lut], PARAMS, **kw).encode(img)

@@ -58,9 +58,14 @@ def test_decode_matches_oracle_and_inverts():
     assert np.array_equal(out, blocks)
 
 
-@pytest.mark.parametrize("k", [1.0, 8.0])
-def test_bulk_mode_matches_oracle(k):
-    """Gates the STAGED bulk pass (the production k > 0 path)."""
+@pytest.mark.parametrize("k,fused", [(1.0, "0"), (8.0, "0"),
+                                     (1.0, "1"), (8.0, "1")])
+def test_bulk_mode_matches_oracle(k, fused, monkeypatch):
+    """Gates the STAGED bulk pass (the production k > 0 path) and, with
+    PICSONG_FUSED_K=1, the whole-direction fused variant whose bulk pass
+    is a second top-level loop inside the fused program."""
+    monkeypatch.setenv("PICSONG_FUSED_K", fused)
+    bpc_jax._staged_cache.clear()
     blocks, levels, subbands = make_blocks(11, 4, amplitude=900, sparsity=0.6)
     lut = random_lut(3, n_groups=PARAMS.n_bitplane_files)
     want_s, want_n = oracle_encode(blocks, levels, subbands, lut, k=k)
