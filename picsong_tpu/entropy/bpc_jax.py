@@ -1679,10 +1679,14 @@ class StagedBPC:
         if not _pair_enabled():
             return False
         if self.has_k and not (self.coding_passes == 2
-                               and os.environ.get("PICSONG_FUSED_K") == "1"):
+                               and os.environ.get("PICSONG_FUSED_K",
+                                                  "1") == "1"):
             # k > 0 fusion appends the bulk pass as a SECOND top-level
-            # loop in the fused program — opt-in until the on-chip A/B
-            # says the two-loop program keeps its aliasing (rule 3)
+            # loop in the fused program — the measured exception to rule 3
+            # (two alternating on-chip pairings, cs_k5 2048^2: fused
+            # 0.382/0.264 ms vs split 0.591/0.644 — the two-loop program
+            # keeps its aliasing). PICSONG_FUSED_K=0 restores the split
+            # bulk schedule.
             return False
         env = os.environ.get("PICSONG_FUSED_MAXPLANES", "")
         try:
