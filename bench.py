@@ -94,7 +94,9 @@ def _snapshot() -> dict:
     """Build the final JSON record from whatever has completed so far."""
     head = RESULTS.get("head")
     rec: dict = {}
-    if head is not None and head.samples_ms:
+    if RESULTS.get("head_rec"):          # suite mode: headline from a child
+        rec.update(RESULTS["head_rec"])
+    elif head is not None and head.samples_ms:
         rec.update({
             "metric": RESULTS["metric"],
             "value": round(head.mpix, 3),
@@ -233,6 +235,29 @@ class Config:
         streams, sizes = codec._encode_plane(plane, lut, self.n_planes)
         return codec._decode_plane(streams, sizes, lut, self.n_planes)
 
+    def seal(self):
+        """Reduce the verify evidence to device scalars and FREE the big
+        buffers (out/plane: 2 x 16.8 MB at 2048^2, 2 x 268 MB at 8K).
+
+        Runs right after the timed loop, enqueues only tiny comparison
+        programs (no D2H — the flat-transition rule holds). Keeping seven
+        configs' planes+outputs live through the video/verify phases held
+        ~2 GB of HBM and correlated with >1000 s first-download stalls
+        (PERF_NOTES round-5 full-suite verify stall); after seal() each
+        verify is a 4-byte scalar read."""
+        import jax.numpy as jnp
+        if self.packed:
+            self._used_dev = (jnp.sum(self._sizes.astype(jnp.int64))
+                              - self._sizes.shape[0])
+            self._sizes = None
+        if not self.lossy:
+            self._ok_dev = jnp.array_equal(self.out, self.plane)
+        else:
+            err = self.out.astype(jnp.float32) - self.plane
+            self._rms_dev = jnp.sqrt(jnp.mean(err * err))
+        self.out = None
+        self.plane = None
+
     def warm_and_time(self):
         """Per-iteration blocked timing, one round trip in flight.
 
@@ -261,22 +286,21 @@ class Config:
     def verify(self):
         """Runs AFTER every config's timed loop (first D2H of the run).
 
-        Comparisons happen ON DEVICE and download one scalar each — a
-        full-plane download of the 8192^2 config would cost ~30 s at the
-        tunnel's D2H bandwidth for no extra signal."""
-        import jax.numpy as jnp
+        The comparisons were enqueued on device by seal(); each verify
+        downloads one scalar — a full-plane download of the 8192^2 config
+        would cost ~30 s at the tunnel's D2H bandwidth for no extra
+        signal, and holding the full planes alive for a late comparison
+        costs ~2 GB of HBM (see seal())."""
         if self.packed:
-            used = int(jnp.sum(self._sizes.astype(jnp.int64))
-                       - self._sizes.shape[0])
+            used = int(self._used_dev)
             if used > self.bucket:
                 raise AssertionError(
                     f"dense bucket overflow: {used} > {self.bucket}")
         if not self.lossy:
-            if not bool(jnp.array_equal(self.out, self.plane)):
+            if not bool(self._ok_dev):
                 raise AssertionError("lossless round trip not bit-exact")
         else:
-            err = self.out.astype(jnp.float64) - self.plane
-            rms = float(jnp.sqrt(jnp.mean(err * err)))
+            rms = float(self._rms_dev)
             if rms > 4.0:
                 raise AssertionError(f"lossy reconstruction RMS {rms:.2f}")
         self.verified = True
@@ -415,6 +439,120 @@ class VideoBench:
         return rec
 
 
+# -- subprocess suite (default run) ------------------------------------------
+#
+# Measured basis (PERF_NOTES round-5 full-suite verify stall): the axon
+# tunnel's flat first-read transition scales with how much device work the
+# process enqueued before its first D2H — single-config processes paid
+# 14-120 s all day while three full in-process suite runs stalled > 1000 s
+# on their first read (with warm caches AND with big buffers freed). Every
+# config therefore runs in a FRESH SUBPROCESS exactly like the A/B
+# protocol: each child pays its own short transition, verifies inside its
+# own budget, and emits the same one-line JSON this file always emits;
+# the parent assembles the records. PICSONG_BENCH_INPROC=1 restores the
+# old in-process suite.
+
+SUITE = [
+    # (name, child flags, min remaining seconds to attempt it)
+    ("quick_512", ["--quick", "--iters", "10"], 120),
+    ("lossy97_2048", ["--lossy"], 150),
+    ("packed_2048", ["--packed"], 150),
+    ("cs_k5_2048", ["--k", "5"], 200),
+    ("lossless53_8192", ["--size", "8192", "--iters", "5"], 280),
+    ("lossy97_8192", ["--size", "8192", "--lossy", "--iters", "5"], 280),
+]
+
+# parent seconds held back from every child budget so the video config
+# always gets a shot (the video child itself adapts to what is left)
+VIDEO_RESERVE_S = 200.0
+
+
+def _run_child(extra_args, child_budget: float) -> dict:
+    """Run one config in a fresh process; return its parsed JSON line."""
+    import subprocess
+    child_budget = max(child_budget, 60.0)
+    env = dict(os.environ, PICSONG_BENCH_BUDGET_S=f"{child_budget:.0f}")
+    cmd = [sys.executable, os.path.abspath(__file__)] + list(extra_args)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=child_budget + 120, env=env)
+    except subprocess.TimeoutExpired:
+        return {"error": f"child timeout after {child_budget + 120:.0f}s "
+                         "(budget watchdog did not fire)"}
+    line = None
+    for ln in (proc.stdout or "").splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            line = ln                     # last JSON line wins
+    if line is None:
+        tail = (proc.stderr or "").strip().splitlines()[-1:]
+        return {"error": f"child rc={proc.returncode}, no JSON line; "
+                         f"stderr tail: {tail}"}
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {"error": "child emitted an unparsable JSON line"}
+
+
+def _child_report(rec: dict) -> dict:
+    """Map a child's headline record to the extras-dict report shape."""
+    if "value" not in rec:
+        return {"error": rec.get("error", "child produced no record")}
+    rep = {"mpix_s": rec.get("value"), "median_ms": rec.get("median_ms"),
+           "mean_ms": rec.get("mean_ms"),
+           "samples_ms": rec.get("samples_ms")}
+    if rec.get("verified") is not True:
+        rep["verified"] = rec.get("error", "unverified")
+    if rec.get("budget_exceeded"):
+        rep["budget_exceeded"] = True
+    return rep
+
+
+def run_suite(args) -> None:
+    """Default run: headline + extras + video, one subprocess each."""
+    RESULTS["single"] = False
+    RESULTS["metric"] = ("MPixels/s/chip encode+decode lossless53 "
+                         "2048x2048")
+
+    def child_budget():
+        return min(remaining() - VIDEO_RESERVE_S, 600.0)
+
+    head_rec = _run_child(["--size", "2048", "--iters", str(args.iters)],
+                          child_budget())
+    hr = {k: head_rec[k] for k in
+          ("metric", "value", "unit", "vs_baseline", "median_ms",
+           "mean_ms", "samples_ms", "verified", "error", "encoder",
+           "decoder", "paired", "plane_group") if k in head_rec}
+    if "value" not in hr:
+        hr.update({"metric": RESULTS["metric"], "value": 0.0,
+                   "unit": "MPixels/s", "vs_baseline": 0.0,
+                   "error": head_rec.get("error", "headline child failed")})
+    RESULTS["head_rec"] = hr
+    RESULTS["configs"]["lossless53_2048"] = _child_report(head_rec)
+
+    for name, flags, need in SUITE:
+        if remaining() < need + VIDEO_RESERVE_S:
+            RESULTS["configs"][name] = {
+                "skipped": f"budget: {remaining():.0f}s left < "
+                           f"{need + VIDEO_RESERVE_S:.0f}s needed"}
+            continue
+        RESULTS["configs"][name] = _child_report(
+            _run_child(flags, child_budget()))
+    RESULTS["phase1_s"] = round(elapsed(), 1)
+
+    if remaining() < 120:
+        RESULTS["configs"]["video_1080p"] = {
+            "skipped": f"budget: {remaining():.0f}s left"}
+    else:
+        rec = _run_child(["--video", "--video-frames", "16"],
+                         remaining() - 30)
+        RESULTS["configs"]["video_1080p"] = rec.get("extra", {}).get(
+            "video_1080p",
+            rec if "error" in rec else {"error": "no video record"})
+    RESULTS["video_done_s"] = round(elapsed(), 1)
+    emit(final=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=None)
@@ -450,6 +588,8 @@ def main() -> None:
 
     single = (args.size is not None or args.quick or args.lossy
               or args.packed or args.no_extras or args.k > 0)
+    if not single and os.environ.get("PICSONG_BENCH_INPROC") != "1":
+        return run_suite(args)
     RESULTS["single"] = single
     if args.quick:
         size, levels = 512, 1
@@ -502,6 +642,7 @@ def main() -> None:
         try:
             c.build()
             c.warm_and_time()
+            c.seal()
         except Exception as e:                      # noqa: BLE001
             c.error = f"{type(e).__name__}: {e}"
             if c is head:
